@@ -1,0 +1,143 @@
+"""Cell-ring-expansion k-nearest-neighbors over point tables.
+
+Required by BASELINE.json north_rule (absent from the reference - its
+nearest analog is the filterBounds candidate-then-refine pattern,
+ee_algo.py:56-58). Algorithm:
+
+  1. Encode both sides to S2 cells at `level`.
+  2. For an escalating Chebyshev ring radius r (doubling schedule), build
+     the candidate set: query cell's (2r+1)^2 ring cells (vectorized
+     cross-face-safe ring generation, s2.neighbors_ring) equi-joined
+     against the data side's cell key.
+  3. Exact great-circle distance (haversine, pure Spark columns - stays
+     in whole-stage codegen), per-query top-k via a window.
+  4. Completeness certificate: a query is DONE when it has >= k candidates
+     AND its k-th distance <= (r-1) * minWidth(level) * R_earth - the
+     conservative lower bound on the distance to any point outside the
+     explored ring block. Unfinished queries escalate; a final brute-force
+     pass catches stragglers (empty at sane levels).
+
+At scale: the data side is hash-partitioned by cell once and reused across
+rounds; ring explode happens on the (small) unfinished query side only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from geeflow_spark.functions import s2
+from geeflow_spark.operators.spatial_join import with_cell
+
+EARTH_RADIUS_M = 6371010.0
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    """Great-circle distance in meters as a Spark column expression."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (F.sin(dlat) ** 2 +
+         F.cos(rl1) * F.cos(rl2) * F.sin(dlon) ** 2)
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def ring_cells_udf(level: int, ring: int):
+    """Pandas UDF cell -> array of ring cells ((2r+1)^2 block, deduped)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _ring(cell: pd.Series) -> pd.Series:
+        ids = s2.neighbors_ring(cell.to_numpy(np.int64).astype(np.uint64),
+                                level, ring)
+        return pd.Series([np.unique(row).astype(np.int64).tolist()
+                          for row in ids])
+
+    return _ring
+
+
+def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
+        query_id: str = "query_id", data_id: str = "data_id",
+        max_ring: int = 64) -> DataFrame:
+    """Returns (query_id, data_id, dist_m, rank) with rank 1..k per query.
+
+    Deterministic: ties broken by ascending data id. Exact: certified by
+    the ring-completeness bound, with brute-force fallback for any query
+    the schedule leaves unfinished.
+    """
+    spark = queries.sparkSession
+    q = with_cell(queries.select(query_id, "lat", "lon"), level,
+                  out_col="qcell").cache()
+    d = with_cell(data.select(data_id, "lat", "lon"), level) \
+        .withColumnRenamed("lat", "dlat").withColumnRenamed("lon", "dlon")
+    d = d.repartition(F.col("cell")).cache()
+    d.count()
+
+    min_width_m = s2.min_width_rad(level) * EARTH_RADIUS_M
+
+    results = None
+    remaining = q
+    r = 2  # bound is (r-1)*minWidth, so r=1 can never certify completeness
+    while r <= max_ring:
+        cand = (remaining
+                .withColumn("cell", F.explode(
+                    ring_cells_udf(level, r)(F.col("qcell"))))
+                .join(d, "cell", "inner")
+                .select(query_id, "lat", "lon", data_id, "dlat", "dlon"))
+        cand = cand.withColumn(
+            "dist_m", haversine_m(F.col("lat"), F.col("lon"),
+                                  F.col("dlat"), F.col("dlon")))
+        w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(),
+                                                 F.col(data_id).asc())
+        topk = (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+        bound = (r - 1) * min_width_m
+        stats = (topk.groupBy(query_id)
+                 .agg(F.count("*").alias("_n"),
+                      F.max("dist_m").alias("_dk")))
+        done_ids = stats.filter((F.col("_n") >= k) &
+                                (F.col("_dk") <= F.lit(bound))) \
+                        .select(query_id)
+        done = topk.join(F.broadcast(done_ids), query_id, "inner") \
+                   .select(query_id, data_id, "dist_m", "rank")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_ids, query_id, "left_anti")
+        if remaining.isEmpty():
+            remaining = None
+            break
+        r *= 2
+
+    if remaining is not None and not remaining.isEmpty():
+        # Brute-force fallback: exact, used only for stragglers.
+        cand = (remaining.crossJoin(d.select(data_id, "dlat", "dlon"))
+                .withColumn("dist_m",
+                            haversine_m(F.col("lat"), F.col("lon"),
+                                        F.col("dlat"), F.col("dlon"))))
+        w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(),
+                                                 F.col(data_id).asc())
+        bf = (cand.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .select(query_id, data_id, "dist_m", "rank"))
+        results = bf if results is None else results.unionByName(bf)
+    q.unpersist()
+    return results
+
+
+def knn_brute_force(queries: DataFrame, data: DataFrame, k: int,
+                    query_id: str = "query_id",
+                    data_id: str = "data_id") -> DataFrame:
+    """Reference oracle: exact kNN via cross join (small inputs only)."""
+    d = data.select(F.col(data_id), F.col("lat").alias("dlat"),
+                    F.col("lon").alias("dlon"))
+    cand = queries.select(query_id, "lat", "lon").crossJoin(d)
+    cand = cand.withColumn(
+        "dist_m", haversine_m(F.col("lat"), F.col("lon"),
+                              F.col("dlat"), F.col("dlon")))
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(),
+                                             F.col(data_id).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, data_id, "dist_m", "rank"))

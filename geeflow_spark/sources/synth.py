@@ -273,7 +273,7 @@ def predictions(spark: SparkSession, n: int = 500, h: int = 4, w: int = 4,
     return df.select(
         idc.alias("id"),
         (idc % 3 - 1).cast("int").alias("dy"),
-        ((idc // 3) % 3 - 1).cast("int").alias("dx"),
+        (F.floor(idc / 3) % 3 - 1).cast("int").alias("dx"),
         tensor.alias("tensor"),
         F.lit(h).alias("h"), F.lit(w).alias("w"), F.lit(c).alias("c"),
     )
