@@ -1,0 +1,160 @@
+"""dedup / similarity / text functions / rasterize / checkpoint tests."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from geeflow_spark.functions import text as T
+from geeflow_spark.operators import dedup, rasterize, similarity
+from geeflow_spark.plans import checkpoint
+from geeflow_spark.sources import synth
+
+
+def test_exact_dedup(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["Hello  World", "hello world", "unique one",
+                 "HELLO WORLD ", "another"],
+    })
+    out = dedup.exact_dedup(spark.createDataFrame(pdf)).toPandas()
+    assert sorted(out["doc_id"]) == [1, 3, 5]  # min id survives
+
+
+def test_minhash_finds_near_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the green forest all day long " * 3)
+    near = base.replace("green", "dark")
+    other = ("completely different content about spark joins and "
+             "shuffle partitions in distributed systems " * 3)
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": [base, near, other]})
+    pairs = dedup.minhash_duplicate_pairs(
+        spark.createDataFrame(pdf), num_perm=64, bands=16,
+        verify_jaccard=0.5).toPandas()
+    assert set(map(tuple, pairs[["a", "b"]].itertuples(index=False))) == \
+        {(1, 2)}
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near = base.replace("zeta", "zetaa")
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [base, near]})
+    out = spark.createDataFrame(pdf).select(
+        dedup.simhash_udf()(F.col("text")).alias("h")).toPandas()
+    h1, h2 = int(out["h"][0]), int(out["h"][1])
+    hamming = bin((h1 ^ h2) & ((1 << 64) - 1)).count("1")
+    assert hamming <= 16
+
+
+def test_similarity_bf_vs_numpy(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.brute_force_topk(q, emb, 3).toPandas()
+    e = emb.toPandas()
+    mat = np.stack(e["embedding"].to_numpy()).astype(np.float64)
+    ids = e["vec_id"].to_numpy()
+    qp = q.toPandas()
+    for _, row in qp.iterrows():
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        scores = mat @ v / (np.linalg.norm(mat, axis=1) * np.linalg.norm(v))
+        order = np.lexsort((ids, -scores))[:3]
+        exp = ids[order].tolist()
+        g = got[got["query_id"] == row["query_id"]].sort_values("rank")
+        assert g["vec_id"].tolist() == exp
+
+
+def test_lsh_topk_high_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    bf = similarity.brute_force_topk(q, emb, 5).toPandas()
+    ap = similarity.lsh_topk(q, emb, 5, dim=64, n_planes=16,
+                             bands=8).toPandas()
+    bf_set = set(map(tuple, bf[["query_id", "vec_id"]]
+                     .itertuples(index=False)))
+    ap_set = set(map(tuple, ap[["query_id", "vec_id"]]
+                     .itertuples(index=False)))
+    recall = len(bf_set & ap_set) / len(bf_set)
+    assert recall >= 0.5  # approximate path; exact rerank inside buckets
+
+
+def test_text_functions(spark):
+    pdf = pd.DataFrame({"text": [
+        "the cat and the dog", "der hund und die katze ist da",
+        "", "a!!! b??? c...",
+    ]})
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        T.token_count(F.col("text")).alias("tc"),
+        T.lang_id(F.col("text")).alias("lang"),
+        T.punct_ratio(F.col("text")).alias("pr"),
+        T.stopword_ratio(F.col("text")).alias("sr"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.fingerprint64(F.col("text")).alias("fp"),
+    ).toPandas()
+    assert out["tc"].tolist() == [5, 7, 0, 3]
+    assert out["lang"].tolist()[0] == "en"
+    assert out["lang"].tolist()[1] == "de"
+    assert out["pr"][3] > 0.5
+    assert out["sr"][0] > 0.5
+    assert (out["q"] >= 0).all() and (out["q"] <= 1).all()
+    # fingerprint invariant to whitespace/case
+    df2 = spark.createDataFrame(pd.DataFrame(
+        {"text": ["The  CAT and the  dog"]}))
+    fp2 = df2.select(T.fingerprint64(F.col("text")).alias("fp")) \
+        .collect()[0]["fp"]
+    assert fp2 == out["fp"][0]
+
+
+def test_rasterize_first_max_exists(spark):
+    # Two overlapping unit squares with different values.
+    regs = pd.DataFrame({
+        "region_id": [0, 1],
+        "ring": [[0.0, 0, 2, 0, 2, 2, 0, 2], [1.0, 0, 3, 0, 3, 2, 1, 2]],
+        "class_name": ["a", "b"],
+        "gridcode": [10, 20],
+    })
+    rois = spark.createDataFrame(pd.DataFrame([
+        {"x_min": 0.0, "y_min": 0.0, "cell_size": 1.0,
+         "width": 3, "height": 2},
+    ]))
+    got_max = rasterize.rasterize_fc(rois, regs, "gridcode", reducer="max") \
+        .collect()[0]["raster"]
+    # grid row-major top row first: pixel centers x=.5,1.5,2.5 / y=1.5,0.5
+    assert got_max["values"] == [10.0, 20.0, 20.0, 10.0, 20.0, 20.0]
+    assert got_max["mask"] == [1, 1, 1, 1, 1, 1]
+    got_first = rasterize.rasterize_fc(rois, regs, "gridcode",
+                                       reducer="first").collect()[0]["raster"]
+    assert got_first["values"] == [10.0, 10.0, 20.0, 10.0, 10.0, 20.0]
+    got_ex = rasterize.rasterize_fc(
+        rois, regs, rasterize.FEATURE_EXISTS_INTEGER_KEY,
+        reducer="max").collect()[0]["raster"]
+    assert got_ex["values"] == [1.0] * 6
+    # class remap with drop-missing (ee_algo.py:176-183)
+    got_cls = rasterize.rasterize_fc(
+        rois, regs, "class_name", reducer="max",
+        class_names=["b"]).collect()[0]["raster"]
+    assert got_cls["mask"] == [0, 1, 1, 0, 1, 1]  # region a dropped
+    assert got_cls["values"][1] == 0.0  # class b -> index 0
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    docs = synth.docs(spark, 300).withColumn(
+        "part", (F.crc32(F.col("doc_id")) % 4).cast("int"))
+    recs = checkpoint.run_partitioned(docs, out, "part", [0, 1, 2, 3],
+                                      id_col="doc_id",
+                                      input_fingerprint="docs:300")
+    assert len(recs) == 4
+    assert all(r["rows"] > 0 for r in recs)
+    assert all(r["lineage"]["input_fingerprint"] == "docs:300" for r in recs)
+    # Relaunch: nothing to do.
+    recs2 = checkpoint.run_partitioned(docs, out, "part", [0, 1, 2, 3])
+    assert recs2 == []
+    # All rows present exactly once.
+    total = spark.read.parquet(out + "/part=*").count()
+    assert total == 300
+    # Partial resume: drop one manifest -> only that partition re-runs.
+    import os
+    os.remove(os.path.join(checkpoint.manifest_dir(out), "2.json"))
+    recs3 = checkpoint.run_partitioned(docs, out, "part", [0, 1, 2, 3])
+    assert [r["partition"] for r in recs3] == ["2"]
