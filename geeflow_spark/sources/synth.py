@@ -157,7 +157,7 @@ def docs(spark: SparkSession, n: int, n_partitions: int | None = None
     )
 
 
-def regions_pdf(n: int = 40, seed: int = 7):
+def regions_pdf(n: int = 40, seed: int = 7, radius_scale: float = 1.0):
     """Region polygons as a pandas DataFrame (small; broadcast side).
 
     Mix of convex polygons (rotated k-gons) around cluster hot spots and
@@ -177,6 +177,7 @@ def regions_pdf(n: int = 40, seed: int = 7):
             c_lat = rng.uniform(-55, 68)
             c_lon = rng.uniform(-175, 175)
             radius = rng.uniform(0.5, 3.0)
+        radius *= radius_scale
         k = int(rng.integers(3, 9))
         ang0 = rng.uniform(0, 2 * np.pi)
         angles = ang0 + np.linspace(0, 2 * np.pi, k, endpoint=False)
