@@ -157,7 +157,8 @@ def docs(spark: SparkSession, n: int, n_partitions: int | None = None
     )
 
 
-def regions_pdf(n: int = 40, seed: int = 7, radius_scale: float = 1.0):
+def regions_pdf(n: int = 40, seed: int = 7, radius_scale: float = 1.0,
+                verts: tuple[int, int] = (3, 9)):
     """Region polygons as a pandas DataFrame (small; broadcast side).
 
     Mix of convex polygons (rotated k-gons) around cluster hot spots and
@@ -178,12 +179,14 @@ def regions_pdf(n: int = 40, seed: int = 7, radius_scale: float = 1.0):
             c_lon = rng.uniform(-175, 175)
             radius = rng.uniform(0.5, 3.0)
         radius *= radius_scale
-        k = int(rng.integers(3, 9))
+        k = int(rng.integers(*verts))
         ang0 = rng.uniform(0, 2 * np.pi)
         angles = ang0 + np.linspace(0, 2 * np.pi, k, endpoint=False)
+        # Jagged radii for high-vertex polygons (realistic boundaries).
+        rr = radius * (1.0 + (rng.uniform(-0.3, 0.3, k) if k > 12 else 0))
         ring = np.empty(2 * k)
-        ring[0::2] = c_lon + radius * np.cos(angles)
-        ring[1::2] = c_lat + radius * 0.7 * np.sin(angles)
+        ring[0::2] = c_lon + rr * np.cos(angles)
+        ring[1::2] = c_lat + rr * 0.7 * np.sin(angles)
         rows.append({
             "region_id": rid,
             "ring": ring.tolist(),

@@ -177,3 +177,21 @@ def test_flagship_generate(spark):
     # tiles snapped to the grid
     assert np.allclose(pdf["tile_x"] % 10.0, 0)
     assert set(pdf["split"]).issubset({"train", "val", "test"})
+
+
+def test_md5_mod10_col_equals_hashlib(spark):
+    """JVM CRT md5 bucket == literal hashlib formula on random cells,
+    including sign-wrapped (uint64 > 2^63) ids."""
+    import hashlib as _h
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 2**63 - 1, 300, dtype=np.int64)
+    ids = np.concatenate([ids, np.array([-1, -2**63, -12345],
+                                        dtype=np.int64)])
+    pdf = pd.DataFrame({"cell": ids})
+    df = spark.createDataFrame(pdf)
+    got = df.select("cell", splits.md5_mod10_col(F.col("cell"))
+                    .alias("b")).toPandas()
+    for _, r in got.iterrows():
+        u = int(np.uint64(np.int64(r["cell"])))
+        exp = int(_h.md5(str(u).encode()).hexdigest(), 16) % 10
+        assert int(r["b"]) == exp
