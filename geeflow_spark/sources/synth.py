@@ -211,18 +211,17 @@ def labels(spark: SparkSession, n: int = 200, with_split: bool = True
            .otherwise(51.3 + _uniform(idc, 11) * 0.4)
     lon = F.when(zurich, 8.4 + _uniform(idc, 12) * 0.5) \
            .otherwise(-0.3 + _uniform(idc, 12) * 0.5)
-    out = df.select(
+    cols = [
         idc.cast("int").alias("index"),
         lat.alias("lat"), lon.alias("lon"),
         F.when(idc % 3 == 0, "apple").otherwise("prune").alias("label_name"),
         (idc % 3 == 0).cast("int").alias("label"),
-    )
+    ]
     if with_split:
-        out = out.withColumn(
-            "split",
-            F.when(_uniform(idc, 13) < 0.7, "train")
-             .when(_uniform(idc, 13) < 0.85, "val").otherwise("test"))
-    return out
+        u = _uniform(idc, 13)
+        cols.append(F.when(u < 0.7, "train").when(u < 0.85, "val")
+                    .otherwise("test").alias("split"))
+    return df.select(*cols)
 
 
 def scenes(spark: SparkSession, n_cells: int = 50, n_times: int = 24,
