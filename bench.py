@@ -34,9 +34,13 @@ def _flagship_input(spark, n_docs: int) -> str:
     """Materializes the synthetic interleaved-doc table once (the 'Iceberg
     table' being read); NOT part of the timed pipeline."""
     from geeflow_spark.sources import synth
-    path = f"/tmp/geeflow_bench_docs_{n_docs}"
+    path = f"/tmp/geeflow_bench_docs_{n_docs}_p128"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        synth.docs(spark, n_docs).write.mode("overwrite").parquet(path)
+        # 128 input files -> enough task waves at every parallelism level
+        # for stragglers to even out (at 100 TB, maxPartitionBytes plays
+        # this role; with small test files, file count = parallelism).
+        synth.docs(spark, n_docs, n_partitions=128) \
+            .write.mode("overwrite").parquet(path)
     return path
 
 
@@ -138,8 +142,16 @@ def _scaling_child(cpus: int) -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     from geeflow_spark.session import get_spark
+    # Size input splits to the parallelism level: the default 128 MB
+    # maxPartitionBytes merges the whole test input into ~10 splits,
+    # capping every level at 10-way scan parallelism. Target ~4 waves
+    # per core (at 100 TB the same knob balances task count vs per-task
+    # overhead).
+    mpb = int(os.environ.get("SPARK_GRAFT_MPB", str(8 * 1024 * 1024)))
     spark = get_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=2 * cpus)
+                      shuffle_partitions=2 * cpus,
+                      extra_conf={"spark.sql.files.maxPartitionBytes":
+                                  str(mpb)})
     _scaling_job(spark, SCALING_DOCS)
     _scaling_job(spark, SCALING_DOCS)
     walls, rows, ck = [], None, None

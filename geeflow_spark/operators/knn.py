@@ -122,8 +122,12 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
               .filter(F.col("rank") <= k)
               .select(query_id, data_id, "dist_m", "rank"))
         results = bf if results is None else results.unionByName(bf)
+    # Materialize before releasing the cached inputs the plan references.
+    out = results.cache()
+    out.count()
     q.unpersist()
-    return results
+    d.unpersist()
+    return out
 
 
 def knn_brute_force(queries: DataFrame, data: DataFrame, k: int,
