@@ -4,23 +4,32 @@ Not present in the reference (batch geo pipeline); required as first-class
 large-pipeline operators by the build spec. All variants are pure
 DataFrame ops + Arrow-batched kernels:
 
-  - exact_dedup: hash-groupBy on normalized text; keeps min doc id
-    (deterministic survivor).
-  - minhash_lsh_dedup: shingle -> minhash signature (vectorized numpy) ->
-    band buckets -> self-join within buckets -> union-find on the driver
-    over the (tiny) duplicate-edge set -> survivor per component. Scale
-    path: bucket join shuffles only (band_hash) keys; edges are a
-    vanishing fraction of docs.
-  - simhash_pairs: 64-bit simhash + banded equality for near-dup candidates.
-  - ngram_jaccard_pairs: exact n-gram Jaccard over candidate pairs
-    (verification stage for LSH candidates).
+  - exact_dedup: collision-safe hash-groupBy on normalized text; keeps
+    min doc id (deterministic survivor). Groups on TWO independent
+    digests (xxhash64 + sha2-256) so a 64-bit birthday collision at
+    10^12-doc scale cannot silently merge distinct documents, while the
+    shuffle still carries only fixed-width digests, never the text.
+  - minhash_lsh: shingle hashing runs JVM-side (tokenize -> k-gram
+    concat -> xxhash64 inside whole-stage codegen); only the
+    (a*x+b) mod p signature fold is Python, and it is one numpy
+    broadcast + segmented min over the whole Arrow batch - no per-row
+    or per-byte Python anywhere. Band buckets -> self-join on
+    (band, band_hash) only; candidate verification is JVM-side exact
+    Jaccard over the hashed shingle sets.
+  - simhash: 64-bit simhash from the same JVM-hashed shingles; the bit
+    fold is one segmented numpy reduction per batch.
+  - ngram_jaccard_pairs: EXACT all-pairs n-gram Jaccard (crossJoin);
+    verification/oracle scale only - use minhash_duplicate_pairs for
+    large inputs.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable, Sequence
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -29,6 +38,7 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _token_shingles(text: str, k: int) -> set:
+    """Python-side mirror of shingle semantics (tests / small oracles)."""
     toks = text.split()
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
@@ -36,52 +46,186 @@ def _token_shingles(text: str, k: int) -> set:
 
 
 def _hash64_strs(strs) -> np.ndarray:
-    """Stable 64-bit FNV-1a over utf-8, vectorized enough for shingle sets."""
-    out = np.empty(len(strs), dtype=np.uint64)
-    for i, s in enumerate(strs):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 % (1 << 64))
-        out[i] = h
-    return out
+    """Stable 64-bit FNV-1a over utf-8, vectorized across the batch.
+
+    The byte fold loops over byte POSITIONS (max string length), not
+    bytes: each step XOR-multiplies one padded byte column into every
+    hash lane at once. Identical output to the scalar FNV-1a.
+    """
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    total = int(lens.sum())
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    if total == 0:
+        return h
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    maxlen = int(lens.max())
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    row_ix = np.repeat(np.arange(n), lens)
+    col_ix = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    buf[row_ix, col_ix] = flat
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):
+        live = lens > j
+        h[live] = (h[live] ^ buf[live, j].astype(np.uint64)) * prime
+    return h
+
+
+def shingle_hashes_col(text: Column, k: int = 3) -> Column:
+    """text -> array<long> of xxhash64 per distinct k-token shingle.
+
+    All JVM-side (split/slice/concat_ws/xxhash64 stay inside whole-stage
+    codegen). Exact string-shingle semantics - used for candidate-pair
+    VERIFICATION (small row counts). The bulk signature path uses
+    `token_hashes_col` + the numpy k-gram combine instead: per-shingle
+    string re-concatenation is O(k) allocations per token and dominates
+    on long documents. Fewer than k tokens -> one shingle of the whole
+    token list (mirrors `_token_shingles`); empty text -> empty array.
+    """
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    n = F.size(toks)
+    gram = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
+    whole = F.array(F.xxhash64(F.concat_ws(" ", toks)))
+    empty = F.array().cast("array<bigint>")
+    return F.array_distinct(
+        F.when(n >= k, gram).when(n > 0, whole).otherwise(empty))
+
+
+def token_hashes_col(text: Column) -> Column:
+    """text -> array<long>: xxhash64 of each whitespace token (JVM-side).
+
+    Each token is hashed ONCE regardless of how many shingles it lands
+    in; shingle hashes are then a vectorized polynomial combine of k
+    consecutive token hashes in numpy (`_shingle_hashes_flat`)."""
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+_POLY = np.uint64(0x100000001B3)
+
+
+def _shingle_hashes_flat(flat: np.ndarray, counts: np.ndarray, k: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Token hashes (flat uint64 + per-doc counts) -> shingle hashes.
+
+    Shingle hash = polynomial fold of k consecutive token hashes
+    (c = c*P + h_j, wrapping uint64) - one gather + multiply-add per
+    gram position over the WHOLE batch; no per-row Python. Docs with
+    0 < T < k tokens get one shingle folding all T tokens (mirrors
+    `_token_shingles`). Returns (sh_flat, sh_counts)."""
+    counts = counts.astype(np.int64)
+    sh_counts = np.where(counts >= k, counts - (k - 1),
+                         (counts > 0).astype(np.int64))
+    total = int(sh_counts.sum())
+    out = np.zeros(total, dtype=np.uint64)
+    if total == 0:
+        return out, sh_counts
+    starts = np.cumsum(counts) - counts
+    sh_starts = np.cumsum(sh_counts) - sh_counts
+    full = counts >= k
+    if full.any():
+        cnts = sh_counts[full]
+        within = (np.arange(int(cnts.sum()))
+                  - np.repeat(np.cumsum(cnts) - cnts, cnts))
+        tok0 = np.repeat(starts[full], cnts) + within
+        c = flat[tok0].copy()
+        for j in range(1, k):
+            c = c * _POLY + flat[tok0 + j]
+        out[np.repeat(sh_starts[full], cnts) + within] = c
+    short = (counts > 0) & (counts < k)
+    if short.any():
+        sidx = starts[short]
+        scnt = counts[short]
+        c = flat[sidx].copy()
+        for j in range(1, k):
+            m = scnt > j
+            c[m] = c[m] * _POLY + flat[sidx[m] + j]
+        out[sh_starts[short]] = c
+    return out, sh_counts
+
+
+def _segmented(hashes: pd.Series):
+    """Arrow batch of array<long> -> (flat uint64, counts, starts)."""
+    counts = hashes.map(len).to_numpy(dtype=np.int64)
+    if counts.sum() == 0:
+        return np.empty(0, dtype=np.uint64), counts, np.zeros(
+            len(counts), dtype=np.int64)
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in hashes]).astype(np.uint64)
+    starts = np.cumsum(counts) - counts
+    return flat, counts, starts
 
 
 def minhash_signature_udf(num_perm: int = 64, shingle_k: int = 3,
-                          seed: int = 1):
-    """Pandas UDF text -> array<long> minhash signature.
+                          seed: int = 1) -> Callable[[Column], Column]:
+    """text column -> array<long> minhash signature.
 
-    Permutations h_i(x) = (a_i * x + b_i) mod p (p = 2^61-1), the standard
-    universal-hash minhash construction.
+    Permutations h_i(x) = (a_i * x + b_i) mod p (p = 2^61-1); the product
+    wraps mod 2^64 first (uint64), which composes with the mod-p fold
+    into a deterministic well-mixed family (documented deviation from
+    the exact universal family; min-stability is what minhash needs).
+    The whole Arrow batch is folded in one broadcast + segmented min -
+    zero per-row Python.
     """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
     b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    p = np.uint64(_MERSENNE)
 
     @pandas_udf(ArrayType(LongType()))
-    def _sig(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            sh = _token_shingles(t or "", shingle_k)
-            if not sh:
-                out.append([0] * num_perm)
-                continue
-            hv = _hash64_strs(sorted(sh)) % np.uint64(_MERSENNE)
-            # (num_perm, n_shingles) matrix min -> signature
-            vals = (a[:, None] * hv[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
+    def _sig(tok_hashes: pd.Series) -> pd.Series:
+        n = len(tok_hashes)
+        out = np.zeros((n, num_perm), dtype=np.int64)
+        flat, counts, _ = _segmented(tok_hashes)
+        sh, sh_counts = _shingle_hashes_flat(flat, counts, shingle_k)
+        if sh.size:
+            hv = sh % p
+            live = sh_counts > 0
+            seg = (np.cumsum(sh_counts) - sh_counts)[live]
+            res = np.empty((num_perm, int(live.sum())), dtype=np.uint64)
+            for p0 in range(0, num_perm, 8):  # bound the working set
+                vals = (a[p0:p0 + 8, None] * hv[None, :]
+                        + b[p0:p0 + 8, None]) % p
+                res[p0:p0 + 8] = np.minimum.reduceat(vals, seg, axis=1)
+            out[live] = res.T.astype(np.int64)
+        return pd.Series(list(out))
 
-    return _sig
+    def apply(text: Column) -> Column:
+        return _sig(token_hashes_col(text))
+
+    return apply
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
-    """Keeps one survivor (min id) per exact (normalized) text."""
+                id_col: str = "doc_id", normalize: bool = True,
+                key_fns: Sequence[Callable[[Column], Column]] | None = None,
+                ) -> DataFrame:
+    """Keeps one survivor (min id) per exact (normalized) text.
+
+    Collision-safe at 10^12-doc scale: the group key is the PAIR
+    (xxhash64, sha2-256) of the normalized text - two independent
+    digests, so distinct texts colliding on the 64-bit hash still form
+    distinct groups (expected spurious merges ~2^-128 per pair). The
+    shuffle carries 40 bytes of digest per row, never the text.
+    `key_fns` is injectable so tests can force a first-digest collision
+    and assert both documents survive.
+    """
     key = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))) \
         if normalize else F.col(text_col)
-    keyed = df.withColumn("_k", F.xxhash64(key))
-    w_min = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
-    return keyed.join(w_min, ["_k", id_col], "inner").drop("_k")
+    if key_fns is None:
+        key_fns = (F.xxhash64, lambda c: F.sha2(c, 256))
+    keyed = df
+    kcols = []
+    for i, fn in enumerate(key_fns):
+        kcols.append(f"_k{i}")
+        keyed = keyed.withColumn(f"_k{i}", fn(key))
+    w_min = keyed.groupBy(*kcols).agg(F.min(id_col).alias(id_col))
+    return keyed.join(w_min, [*kcols, id_col], "inner").drop(*kcols)
 
 
 def minhash_band_buckets(df: DataFrame, text_col: str = "text",
@@ -101,72 +245,126 @@ def minhash_band_buckets(df: DataFrame, text_col: str = "text",
                                  band_slice.cast("string")).alias("band_hash"))
 
 
+def _jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays, JVM-side."""
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0,
+                  F.size(F.array_intersect(a, b)) / union).otherwise(0.0)
+
+
 def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", num_perm: int = 64,
                             bands: int = 16, shingle_k: int = 3,
                             verify_jaccard: float | None = 0.7) -> DataFrame:
     """Candidate (a, b) near-dup pairs (a < b), optionally verified by
-    exact shingle Jaccard >= threshold."""
+    exact shingle Jaccard >= threshold.
+
+    Verification is exact Jaccard over the hashed shingle SETS
+    (array_intersect/array_union, JVM-side) - identical to string-
+    shingle Jaccard up to 64-bit shingle-hash collisions. Only the
+    candidate pairs (a vanishing fraction at any real threshold) reach
+    this stage.
+    """
     buckets = minhash_band_buckets(df, text_col, id_col, num_perm, bands,
                                    shingle_k)
-    l = buckets.alias("l")
-    r = buckets.alias("r")
-    pairs = (l.join(r, ["band", "band_hash"])
-             .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-             .select(F.col(f"l.{id_col}").alias("a"),
-                     F.col(f"r.{id_col}").alias("b"))
+    # ONE signature pass: groupBy bucket + JVM-side ordered-pair
+    # emission, instead of a self-join (which would shuffle and
+    # recompute the signature subtree for BOTH aliases). Per-bucket
+    # work is quadratic in bucket size by LSH construction; hot buckets
+    # (boilerplate-heavy corpora) should be capped upstream via
+    # max_bucket before the pair explosion.
+    grouped = (buckets.groupBy("band", "band_hash")
+               .agg(F.array_sort(F.collect_set(F.col(id_col)))
+                    .alias("_ids"))
+               .filter(F.size("_ids") > 1))
+    ids = F.col("_ids")
+    pair_arr = F.flatten(F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(1))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    pairs = (grouped.select(F.explode(pair_arr).alias("p"))
+             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
              .distinct())
     if verify_jaccard is None:
         return pairs
-    texts = df.select(F.col(id_col), F.col(text_col))
+    # Exact-Jaccard verification shingles are computed ONLY for docs
+    # that appear in a candidate pair (semi-join filter first): at any
+    # real threshold that is a vanishing fraction of the corpus.
+    cand_ids = (pairs.select(F.col("a").alias(id_col))
+                .union(pairs.select(F.col("b").alias(id_col)))
+                .distinct())
+    sh = (df.join(cand_ids, id_col, "left_semi")
+          .select(F.col(id_col),
+                  shingle_hashes_col(F.col(text_col), shingle_k)
+                  .alias("_sh")))
     pairs = (pairs
-             .join(texts.withColumnRenamed(id_col, "a")
-                   .withColumnRenamed(text_col, "_ta"), "a")
-             .join(texts.withColumnRenamed(id_col, "b")
-                   .withColumnRenamed(text_col, "_tb"), "b"))
-
-    @pandas_udf("double")
-    def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i in range(len(ta)):
-            sa = _token_shingles(ta.iloc[i] or "", shingle_k)
-            sb = _token_shingles(tb.iloc[i] or "", shingle_k)
-            u = len(sa | sb)
-            out[i] = (len(sa & sb) / u) if u else 0.0
-        return pd.Series(out)
-
-    return (pairs.withColumn("jaccard", _jac("_ta", "_tb"))
+             .join(sh.withColumnRenamed(id_col, "a")
+                   .withColumnRenamed("_sh", "_sha"), "a")
+             .join(sh.withColumnRenamed(id_col, "b")
+                   .withColumnRenamed("_sh", "_shb"), "b"))
+    return (pairs.withColumn("jaccard",
+                             _jaccard_col(F.col("_sha"), F.col("_shb")))
             .filter(F.col("jaccard") >= verify_jaccard)
             .select("a", "b", "jaccard"))
 
 
-def simhash_udf(shingle_k: int = 2):
-    """Pandas UDF text -> 64-bit simhash (as signed long)."""
+def simhash_udf(shingle_k: int = 2) -> Callable[[Column], Column]:
+    """text column -> 64-bit simhash (as signed long).
+
+    Shingle hashing is JVM-side; the bit fold is one segmented numpy
+    reduction over the Arrow batch (bits matrix + add.reduceat), no
+    per-row Python.
+    """
+    shifts = np.arange(64, dtype=np.uint64)
 
     @pandas_udf(LongType())
-    def _sim(text: pd.Series) -> pd.Series:
-        out = np.empty(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            sh = sorted(_token_shingles(t or "", shingle_k))
-            if not sh:
-                out[i] = 0
-                continue
-            hv = _hash64_strs(sh)
-            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+    def _sim(tok_hashes: pd.Series) -> pd.Series:
+        n = len(tok_hashes)
+        out = np.zeros(n, dtype=np.int64)
+        flat, counts, _ = _segmented(tok_hashes)
+        sh, sh_counts = _shingle_hashes_flat(flat, counts, shingle_k)
+        if sh.size:
+            # Simhash weights each DISTINCT shingle once: segmented
+            # dedup via one lexsort over (doc, hash), all vectorized.
+            doc = np.repeat(np.arange(n), sh_counts)
+            order = np.lexsort((sh, doc))
+            sh, doc = sh[order], doc[order]
+            keep = np.ones(len(sh), dtype=bool)
+            keep[1:] = (sh[1:] != sh[:-1]) | (doc[1:] != doc[:-1])
+            sh, doc = sh[keep], doc[keep]
+            live = np.unique(doc)
+            seg = np.searchsorted(doc, live)
+            bits = ((sh[:, None] >> shifts[None, :])
                     & np.uint64(1)).astype(np.int64)
-            score = (2 * bits - 1).sum(axis=0)
-            out[i] = int(((score > 0).astype(np.uint64)
-                          << np.arange(64, dtype=np.uint64)).sum()
-                         .astype(np.int64))
+            sums = np.add.reduceat(2 * bits - 1, seg, axis=0)
+            vals = ((sums > 0).astype(np.uint64)
+                    << shifts[None, :]).sum(axis=1)
+            out[live] = vals.astype(np.int64)
         return pd.Series(out)
 
-    return _sim
+    def apply(text: Column) -> Column:
+        return _sim(token_hashes_col(text))
+
+    return apply
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float,
                         text_col: str = "text", id_col: str = "doc_id",
                         shingle_k: int = 3) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard >= threshold (small inputs / oracle)."""
-    return minhash_duplicate_pairs(df, text_col, id_col, bands=64,
-                                   num_perm=64, shingle_k=shingle_k,
-                                   verify_jaccard=threshold)
+    """EXACT all-pairs n-gram Jaccard >= threshold.
+
+    True O(n^2) crossJoin + JVM-side set Jaccard: the verification /
+    oracle operator for SMALL inputs (it is the ground truth the LSH
+    recall tests compare against). At scale use
+    `minhash_duplicate_pairs`, whose recall is banded-LSH, not exact.
+    """
+    sh = df.select(F.col(id_col),
+                   shingle_hashes_col(F.col(text_col), shingle_k)
+                   .alias("_sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
+    return (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+            .withColumn("jaccard", _jaccard_col(F.col("_sha"),
+                                                F.col("_shb")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))

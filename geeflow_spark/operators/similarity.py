@@ -66,15 +66,11 @@ def hyperplane_buckets_udf(dim: int, n_planes: int = 16, bands: int = 4,
     def _buckets(vec: pd.Series) -> pd.Series:
         mat = np.stack(vec.to_numpy())  # (n, dim)
         signs = (mat @ planes.T) > 0  # (n, n_planes)
-        out = []
         weights = (1 << np.arange(per_band)).astype(np.int64)
-        for row in signs:
-            keys = []
-            for b in range(bands):
-                bits = row[b * per_band:(b + 1) * per_band]
-                keys.append(int(b) << 32 | int((bits * weights).sum()))
-            out.append(keys)
-        return pd.Series(out)
+        keys = (signs.reshape(len(mat), bands, per_band)
+                .astype(np.int64) * weights).sum(axis=2)
+        keys |= (np.arange(bands, dtype=np.int64) << 32)[None, :]
+        return pd.Series(list(keys))
 
     return _buckets
 
@@ -85,12 +81,19 @@ def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
              bands: int = 4) -> DataFrame:
     """Approximate cosine top-k via sign-LSH bucketing + exact re-rank."""
     bud = hyperplane_buckets_udf(dim, n_planes, bands)
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv")) \
-        .withColumn("bucket", F.explode(bud(F.col("_qv"))))
-    d = data.select(F.col(data_id), F.col(vec_col).alias("_dv")) \
-        .withColumn("bucket", F.explode(bud(F.col("_dv"))))
-    cand = (q.join(d, "bucket")
-            .select(query_id, data_id, "_qv", "_dv").distinct()
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"))
+    qb = q.select(query_id, F.explode(bud(F.col("_qv"))).alias("bucket"))
+    db = d.select(data_id, F.explode(bud(F.col("_dv"))).alias("bucket"))
+    # Dedup candidate PAIRS on bare ids (16-byte shuffle rows), then
+    # rejoin the vectors once: never shuffle embedding payloads keyed by
+    # (or alongside) a multi-band-inflated candidate set. Queries are the
+    # small side by construction -> broadcast.
+    cand_ids = (qb.join(db, "bucket")
+                .select(query_id, data_id).distinct())
+    cand = (cand_ids
+            .join(F.broadcast(q), query_id)
+            .join(d, data_id)
             .withColumn("score", cosine_col(F.col("_qv"), F.col("_dv"))))
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())

@@ -158,3 +158,47 @@ def test_checkpoint_resume(spark, tmp_path):
     os.remove(os.path.join(checkpoint.manifest_dir(out), "2.json"))
     recs3 = checkpoint.run_partitioned(docs, out, "part", [0, 1, 2, 3])
     assert [r["partition"] for r in recs3] == ["2"]
+
+
+def test_exact_dedup_hash_collision_safe(spark):
+    # Force a first-digest collision via an injected constant hasher:
+    # the second independent digest must keep distinct texts apart.
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["alpha text", "totally different", "alpha  TEXT"]})
+    out = dedup.exact_dedup(
+        spark.createDataFrame(pdf),
+        key_fns=[lambda c: F.lit(0), lambda c: F.sha2(c, 256)]).toPandas()
+    assert sorted(out["doc_id"]) == [1, 2]  # collision did not merge 1 & 2
+
+
+def test_ngram_jaccard_exact_all_pairs(spark):
+    a = "one two three four five six seven eight"
+    b = "one two three four five six seven nine"   # high overlap with a
+    c = "alpha beta gamma delta epsilon"
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, c]})
+    got = dedup.ngram_jaccard_pairs(
+        spark.createDataFrame(pdf), threshold=0.3, shingle_k=3).toPandas()
+    assert set(map(tuple, got[["a", "b"]].itertuples(index=False))) == {(1, 2)}
+    # exact value: shingles(a)=6, shingles(b)=6, common=5 -> 5/7
+    import math
+    assert math.isclose(got["jaccard"].iloc[0], 5 / 7, rel_tol=1e-9)
+
+
+def test_shingle_hashes_jvm_matches_python_semantics(spark):
+    # Cardinalities match the python mirror for normal/short/empty text.
+    pdf = pd.DataFrame({"text": ["a b c d e", "a b", "", "one"]})
+    got = spark.createDataFrame(pdf).select(
+        F.size(dedup.shingle_hashes_col(F.col("text"), 3)).alias("n")
+    ).toPandas()["n"].tolist()
+    exp = [len(dedup._token_shingles(t, 3)) for t in pdf["text"]]
+    assert got == exp
+
+
+def test_hash64_vectorized_matches_scalar():
+    strs = ["", "a", "hello world", "x" * 100, "unicode ☃ ümlaut"]
+    got = dedup._hash64_strs(strs)
+    for s, g in zip(strs, got):
+        h = 0xCBF29CE484222325
+        for byte in s.encode("utf-8"):
+            h = ((h ^ byte) * 0x100000001B3) % (1 << 64)
+        assert int(g) == h
