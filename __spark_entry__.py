@@ -26,10 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from geeflow_spark.functions import masks
 from geeflow_spark.functions import text as T
 from geeflow_spark.operators import dedup, knn, similarity, spatial_join, splits, tiles
 from geeflow_spark.plans import generate
-from geeflow_spark.sources import derived, synth
+from geeflow_spark.sources import catalog, derived, synth
 
 # ---------------------------------------------------------------------------
 # Fixed geo fixtures shared by Spark queries and SQL oracles.
@@ -294,6 +295,25 @@ def _q_spans_explode(spark, sf_dir):
                      .alias("content"))
 
 
+def _q_src_s2_cloudfree_mosaic(spark, sf_dir):
+    # Registry-driven: named TableSource -> standing corruption filter
+    # (<=100%) -> cloud-% helper (<30) -> QA60 bitmask -> most-recent
+    # clear scene per cell -> NDVI. Mirrors the reference's
+    # filter_by_cloud_percentage + im_cloud_mask + mosaic flow
+    # (ee_data.py:209-230) through the catalog mechanism.
+    src = catalog.demo_s2_source(sf_dir)
+    df = catalog.cloud_filtered(src, spark, 30.0)
+    df = df.filter(masks.s2_qa60_cloud_mask_col(F.col("QA60")) == 1)
+    w = Window.partitionBy("cell").orderBy(F.col("ts").desc(),
+                                           F.col("scene_id").desc())
+    return (df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cell", "scene_id",
+                    F.round((F.col("B8") - F.col("B4"))
+                            / (F.col("B8") + F.col("B4")), 6)
+                    .alias("ndvi")))
+
+
 def _q_stats_moments(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy("event_type")
@@ -336,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_norms": _q_sim_norms,
         "spans_explode": _q_spans_explode,
+        "src_s2_cloudfree_mosaic": _q_src_s2_cloudfree_mosaic,
         "stats_moments": _q_stats_moments,
         "stats_hist_bins": _q_stats_hist_bins,
     }
@@ -613,6 +634,28 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'media/' || CAST(doc_id AS VARCHAR) || '/'
                       || CAST(span_idx AS VARCHAR) END AS content
           FROM s
+        """,
+        "src_s2_cloudfree_mosaic": f"""
+          WITH s2 AS (
+            SELECT event_id AS scene_id, user_id % 50 AS cell, ts,
+                   {catalog.DEMO_CLOUD_SQL} AS cpp,
+                   {catalog.DEMO_B4_SQL} AS B4,
+                   {catalog.DEMO_B8_SQL} AS B8,
+                   {catalog.DEMO_QA60_SQL} AS QA60
+            FROM events),
+          f AS (
+            SELECT * FROM s2
+            WHERE cpp <= 100 AND cpp < 30
+              AND (CAST(QA60 AS BIGINT) & 1024) = 0
+              AND (CAST(QA60 AS BIGINT) & 2048) = 0),
+          r AS (
+            SELECT cell, scene_id, B4, B8,
+                   row_number() OVER (PARTITION BY cell
+                                      ORDER BY ts DESC, scene_id DESC)
+                     AS rn
+            FROM f)
+          SELECT cell, scene_id, ROUND((B8 - B4) / (B8 + B4), 6) AS ndvi
+          FROM r WHERE rn = 1
         """,
         "stats_moments": """
           SELECT event_type,

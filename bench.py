@@ -167,29 +167,35 @@ def _scaling_child(cpus: int) -> None:
     spark.stop()
 
 
+def _dram_work(_):
+    """Module-level so multiprocessing.Pool can pickle it."""
+    import numpy as np
+    a = np.zeros(200_000_000 // 8, dtype=np.float64)
+    s = 0.0
+    for _ in range(8):
+        s += a.sum()
+    return s
+
+
 def _dram_calibration() -> dict:
     """Measures the box's aggregate DRAM bandwidth scaling: fixed
     memory-sweep work per process at 1/4/8/16/32 processes. On a
     single-socket VM the memory controller saturates well below 32
-    cores - the context for interpreting local[N] scaling numbers."""
+    cores - the context for interpreting local[N] scaling numbers.
+    Best-effort: returns {} on failure rather than losing the (long)
+    scaling measurements collected before it."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def work(_):
-        a = np.zeros(200_000_000 // 8, dtype=np.float64)
-        s = 0.0
-        for _ in range(8):
-            s += a.sum()
-        return s
-
     out = {}
-    for procs in (1, 4, 8, 16, 32):
-        t0 = time.monotonic()
-        with mp.Pool(procs) as p:
-            p.map(work, range(procs))
-        wall = time.monotonic() - t0
-        out[procs] = round(procs * 1.6 / wall, 1)  # GB/s aggregate
+    try:
+        for procs in (1, 4, 8, 16, 32):
+            t0 = time.monotonic()
+            with mp.Pool(procs) as p:
+                p.map(_dram_work, range(procs))
+            wall = time.monotonic() - t0
+            out[procs] = round(procs * 1.6 / wall, 1)  # GB/s aggregate
+    except Exception as e:  # noqa: BLE001 - writing evidence comes first
+        out["error"] = str(e)
     return out
 
 
@@ -211,6 +217,10 @@ def run_scaling() -> None:
         line = [l for l in out.stdout.splitlines()
                 if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
+        # Persist incrementally: each child run is minutes of work.
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/scaling_children.json", "w") as f:
+            json.dump(results, f, indent=1)
 
     eff_4_16 = (results[16]["docs_per_sec"] /
                 results[4]["docs_per_sec"]) / 4.0

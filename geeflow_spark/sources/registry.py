@@ -55,9 +55,20 @@ def compile_filter(key: str, value: Any) -> Column:
 
 
 def apply_filters(df: DataFrame,
-                  filters: Sequence[tuple[str, Any]] | None) -> DataFrame:
-    for k, v in (filters or ()):
-        df = df.filter(compile_filter(k, v))
+                  filters: Sequence[tuple[str, Any] | Column] | None
+                  ) -> DataFrame:
+    """Filters are DSL (key, value) pairs or raw Column predicates.
+
+    Raw Columns (or zero-arg callables returning one, for predicates
+    declared before a SparkSession exists) cover what the prefix DSL
+    can't express, e.g. list-typed metadata equality (Sentinel-1's
+    transmitterReceiverPolarisation == ['VV','VH'], ee_data.py:116-127).
+    """
+    for f in (filters or ()):
+        if callable(f) and not isinstance(f, Column):
+            f = f()
+        df = df.filter(f if isinstance(f, Column)
+                       else compile_filter(f[0], f[1]))
     return df
 
 
@@ -70,15 +81,23 @@ class TableSource:
     instrumentMode/polarisation filters, ee_data.py:116-127).
     """
     name: str
-    path: str
+    path: str | None = None
     bands: Sequence[str] = ()
     vis_bands: Sequence[str] = ()
-    filters: Sequence[tuple[str, Any]] | None = None
+    filters: Sequence[tuple[str, Any] | Column] | None = None
     kind: str = "ic"  # ic (time-series raster) | im (single) | fc (vector)
     ts_col: str = "ts"
+    # Alternative to `path`: a callable producing the table (synth-backed
+    # catalog entries, derived demo tables). Standing filters still apply.
+    loader: Any = None
 
     def load(self, spark: SparkSession) -> DataFrame:
-        df = spark.read.parquet(self.path)
+        if self.loader is not None:
+            df = self.loader(spark)
+        else:
+            if not self.path:
+                raise ValueError(f"Source `{self.name}` has no path/loader")
+            df = spark.read.parquet(self.path)
         return apply_filters(df, self.filters)
 
     def select_bands(self, df: DataFrame,
