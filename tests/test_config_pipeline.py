@@ -1,0 +1,178 @@
+"""Config -> plan front-end: parse_arg DSL + demo-shaped pipeline golden
+test (mirrors the reference's configs/public/demo.py through the named
+source registry)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geeflow_spark.operators import reducers
+from geeflow_spark.plans import config as cfg_mod
+from geeflow_spark.sources import synth
+from geeflow_spark.sources.registry import DEFAULT_REGISTRY, TableSource
+
+
+# ---------------------------------------------------------------------------
+# parse_arg DSL (utils.py:108-181 semantics, incl. all docstring ways)
+# ---------------------------------------------------------------------------
+
+def test_parse_arg_ways():
+    spec = dict(res=(224, int), runlocal=False, schedule="short")
+    # --config amazing.py:runlocal,schedule=long,res=128
+    a = cfg_mod.parse_arg("runlocal,schedule=long,res=128", **spec)
+    assert (a.res, a.runlocal, a.schedule) == (128, True, "long")
+    # --config amazing.py:res=128
+    a = cfg_mod.parse_arg("res=128", **spec)
+    assert (a.res, a.runlocal, a.schedule) == (128, False, "short")
+    # bare name -> True
+    a = cfg_mod.parse_arg("runlocal", **spec)
+    assert a.runlocal is True
+    # explicit false
+    a = cfg_mod.parse_arg("runlocal=False", **spec)
+    assert a.runlocal is False
+    # single unnamed value -> FIRST spec entry
+    a = cfg_mod.parse_arg("128", **spec)
+    assert a.res == 128
+    # None arg -> defaults
+    a = cfg_mod.parse_arg(None, **spec)
+    assert (a.res, a.runlocal, a.schedule) == (224, False, "short")
+    # unhandled key raises unless lazy (then autotyped)
+    with pytest.raises(ValueError, match="Unhandled"):
+        cfg_mod.parse_arg("nope=1", **spec)
+    a = cfg_mod.parse_arg("nope=1,f=2.5,t=true,s=x", lazy=True, **spec)
+    assert (a.nope, a.f, a.t, a.s) == (1, 2.5, True, "x")
+    # strict bool rejects junk
+    with pytest.raises(AssertionError):
+        cfg_mod.parse_arg("runlocal=yes", **spec)
+
+
+def test_algo_resolution():
+    assert cfg_mod.get_algo({"module": "sentinel2_sr"}) \
+        == "ic_sample_date_ranges"
+    assert cfg_mod.get_algo({"module": "nasa_dem"}) == "sample_roi"
+    assert cfg_mod.get_algo({"module": "Sentinel2"}) \
+        == "ic_sample_date_ranges"  # reference class names resolve too
+    assert cfg_mod.get_algo({"module": "nasa_dem",
+                             "algo": "ic_sample_reduced"}) \
+        == "ic_sample_reduced"
+    with pytest.raises(ValueError, match="No valid algo"):
+        cfg_mod.get_algo({"module": "unknown_thing"}, "x")
+    with pytest.raises(ValueError, match="Unsupported algo"):
+        cfg_mod.get_algo({"module": "x", "algo": "zap"}, "x")
+
+
+# ---------------------------------------------------------------------------
+# Demo-shaped pipeline (configs/public/demo.py through the registry)
+# ---------------------------------------------------------------------------
+
+def _demo_config():
+    ranges = reducers.date_ranges("2018-01-01", 2, months=12)
+    c = cfg_mod.DotDict()
+    c.sources = cfg_mod.DotDict()
+
+    s2 = cfg_mod.get_source_config("sentinel2_sr",
+                                   "filter_by_cloud_percentage")
+    s2.out_kw = {"percentage": 50}
+    s2.select = ["B3", "B2", "B1"]
+    s2.sampling_kw = {"reduce_fn": "median"}
+    s2.date_ranges = ranges
+    c.sources.s2 = s2
+
+    s1 = cfg_mod.get_source_config("sentinel1", "ic")
+    s1.sampling_kw = {"reduce_fn": "mean"}
+    s1.select = ["VV", "VH"]
+    s1.date_ranges = ranges
+    c.sources.s1 = s1
+
+    elev = cfg_mod.get_source_config("nasa_dem", "im")
+    elev.select = ["elevation", "slope", "aspect"]
+    c.sources.elevation = elev
+    return c, ranges
+
+
+def test_demo_pipeline_golden(spark):
+    c, ranges = _demo_config()
+    out = cfg_mod.run_pipeline(spark, c)
+    assert set(out) == {"s2", "s1", "elevation"}
+
+    s2 = out["s2"].toPandas()
+    assert {"s2/B3", "s2/B2", "s2/B1", "s2_mask", "cell",
+            "timestamps"} <= set(s2.columns)
+    mids = {reducers.range_bounds_ms(r)[2] for r in ranges}
+    assert set(s2["timestamps"]) <= mids
+
+    # Golden value: recompute one (cell, range) median by hand from the
+    # RAW source table with the same cloud filter.
+    src = DEFAULT_REGISTRY.get("sentinel2_sr")
+    raw = src.loader(spark).toPandas()
+    r0 = ranges[0]
+    start, end, mid = reducers.range_bounds_ms(r0)
+    sub = raw[(raw.ts >= start) & (raw.ts < end)
+              & (raw.CLOUDY_PIXEL_PERCENTAGE <= 100)
+              & (raw.CLOUDY_PIXEL_PERCENTAGE < 50)]
+    cell = int(sub.cell.iloc[0])
+    exp = np.float32(sub[sub.cell == cell]["B3"].astype("float32").median())
+    got_rows = s2[(s2.cell == cell) & (s2.timestamps == mid)]
+    assert len(got_rows) == 1
+    got = got_rows["s2/B3"].iloc[0]
+    assert len(got) == 1  # scalar source -> 1-pixel patch
+    assert got[0] == pytest.approx(float(exp), rel=1e-6)
+
+    # s1: mean over the range, standing IW/pol filters applied upstream.
+    s1 = out["s1"].toPandas()
+    assert {"s1/VV", "s1/VH"} <= set(s1.columns)
+    # elevation: one row per scene row, renamed bands.
+    elev = out["elevation"]
+    assert {"elevation/elevation", "elevation/slope",
+            "elevation/aspect"} <= set(elev.columns)
+
+
+def test_fc_get_and_fc_to_image(spark):
+    regions = synth.regions_pdf(10, radius_scale=3.0)
+
+    def region_loader(s):
+        return s.createDataFrame(regions)
+
+    fc_src = TableSource("demo_fc", None, bands=["class_name", "gridcode"],
+                         kind="fc", loader=region_loader)
+    labels = synth.labels(spark, 60)
+
+    c = cfg_mod.DotDict()
+    c.sources = cfg_mod.DotDict()
+    fg = cfg_mod.get_source_config(fc_src, "fc")
+    fg.algo = "fc_get"
+    fg.select = ["gridcode"]
+    fg.module = fc_src
+    c.sources.country = fg
+    out = cfg_mod.run_pipeline(spark, c, labels=labels)
+    got = out["country"].toPandas()
+    assert {"index", "region_id", "gridcode"} <= set(got.columns)
+    # first-match: one row per matched point, min region_id wins
+    assert got["index"].is_unique
+
+
+def test_ccdc_year_selection_guard(spark):
+    c = cfg_mod.DotDict()
+    c.sources = cfg_mod.DotDict()
+    src = TableSource("ccdc_demo", None, bands=[],
+                      loader=lambda s: s.createDataFrame(pd.DataFrame({
+                          "pix_id": [0],
+                          "tStart": [[2018.1, 2020.3]],
+                          "tEnd": [[2020.3, 2022.9]],
+                          "coefs": [list(np.arange(16.0))],
+                      })))
+    g = cfg_mod.get_source_config(src, None)
+    g.module = src
+    g.algo = "get_ccdc"
+    g.format_config = {"from": 2019, "to": 2021,
+                       "year_selection": [1, 1]}  # wrong length: 3 years
+    c.sources.ccdc = g
+    with pytest.raises(ValueError, match="year_selection"):
+        cfg_mod.run_pipeline(spark, c)
+    # Correct mask length runs and emits tensor+mask columns.
+    g.format_config = {"from": 2019, "to": 2021,
+                       "year_selection": [1, 1, 1]}
+    out = cfg_mod.run_pipeline(spark, c)
+    row = out["ccdc"].collect()[0]
+    assert len(row["ccdc/ccdc"]) > 0 and len(row["ccdc_mask/ccdc"]) > 0
