@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from geeflow_spark.functions import hex as _hex
 from geeflow_spark.functions import masks
 from geeflow_spark.functions import text as T
 from geeflow_spark.operators import dedup, knn, similarity, spatial_join, splits, tiles
@@ -164,6 +165,16 @@ def _q_geo_cell_counts(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "lat", "lon")
     enc = spatial_join.with_cell(docs, level=5)
     return spatial_join.salted_cell_counts(enc).orderBy("cell")
+
+
+def _q_geo_cell_counts_hex(spark, sf_dir):
+    # Hex-twin index (north rule: H3 sibling next to S2): per-cell doc
+    # counts at res 6. ORACLED - hex.hex_cell_sql recomputes the packed
+    # cell id in pure SQL (same literals, same floor(x+0.5) tie rule).
+    docs = _docs(spark, sf_dir).select("doc_id", "lat", "lon")
+    enc = spatial_join.with_cell(docs, level=6, index="hex")
+    return (enc.groupBy("cell").agg(F.count("*").alias("n"))
+            .select(F.col("cell").cast("long").alias("cell"), "n"))
 
 
 def _q_rel_q1(spark, sf_dir):
@@ -343,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_split_bucket": _q_geo_split_bucket,
         "geo_tile_origin": _q_geo_tile_origin,
         "geo_cell_counts": _q_geo_cell_counts,
+        "geo_cell_counts_hex": _q_geo_cell_counts_hex,
         "rel_q1_pricing": _q_rel_q1,
         "rel_q3_revenue": _q_rel_q3,
         "rel_topk_window": _q_rel_topk_window,
@@ -486,6 +498,11 @@ def oracle_sql() -> dict[str, str]:
         "geo_tile_assign": _tile_oracle(),
         "geo_knn": _knn_oracle(),
         "geo_split_bucket": _split_bucket_oracle(),
+        "geo_cell_counts_hex": f"""
+          SELECT {_hex.hex_cell_sql(_LAT, _LON, 6)} AS cell,
+                 COUNT(*) AS n
+          FROM documents GROUP BY 1
+        """,
         # geo_tile_origin / geo_cell_counts / dedup_minhash_pairs:
         # omitted on purpose (UTM series / S2 / minhash not
         # SQL-expressible) -> rows-only checks.

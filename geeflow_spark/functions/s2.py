@@ -324,3 +324,13 @@ def split_bucket(cell_ids) -> np.ndarray:
         out[idx] = int(hashlib.md5(str(int(c)).encode("utf-8")).hexdigest(),
                        16) % 10
     return out
+
+
+def ring_bound_m(cell_id, level: int, ring: int,
+                 radius_m: float = 6371010.0):
+    """Per-cell lower bound (meters) to anything outside the (2r+1)^2
+    ring block - constant for S2 (cells have a global min width);
+    mirrors hex.ring_bound_m's interface for index-agnostic kNN."""
+    import numpy as np
+    n = len(np.asarray(cell_id))
+    return np.full(n, max(ring - 1, 0) * min_width_rad(level) * radius_m)

@@ -30,8 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
-from geeflow_spark.functions import s2
-from geeflow_spark.operators.spatial_join import with_cell
+from geeflow_spark.operators.spatial_join import INDEXES, with_cell
 
 EARTH_RADIUS_M = 6371010.0
 
@@ -46,22 +45,42 @@ def haversine_m(lat1, lon1, lat2, lon2):
     return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
 
 
-def ring_cells_udf(level: int, ring: int):
-    """Pandas UDF cell -> array of ring cells ((2r+1)^2 block, deduped)."""
+def ring_cells_udf(level: int, ring: int, index: str = "s2"):
+    """Pandas UDF cell -> array of ring cells (block/disk, deduped)."""
+    mod = INDEXES[index]
 
     @pandas_udf(ArrayType(LongType()))
     def _ring(cell: pd.Series) -> pd.Series:
-        ids = s2.neighbors_ring(cell.to_numpy(np.int64).astype(np.uint64),
-                                level, ring)
-        return pd.Series([np.unique(row).astype(np.int64).tolist()
-                          for row in ids])
+        raw = cell.to_numpy(np.int64)
+        ids = mod.neighbors_ring(
+            raw.astype(np.uint64) if index == "s2" else raw, level, ring)
+        return pd.Series([np.unique(np.asarray(row).astype(np.int64))
+                          .tolist() for row in ids])
 
     return _ring
 
 
+def ring_bound_udf(level: int, ring: int, index: str = "s2"):
+    """Pandas UDF cell -> per-query certificate bound in meters.
+
+    S2: global constant (min cell width); hex: latitude-aware (the
+    planar grid's lon width shrinks with cos(lat)) - see
+    hex.ring_bound_m."""
+    mod = INDEXES[index]
+
+    @pandas_udf("double")
+    def _bound(cell: pd.Series) -> pd.Series:
+        raw = cell.to_numpy(np.int64)
+        b = mod.ring_bound_m(
+            raw.astype(np.uint64) if index == "s2" else raw, level, ring)
+        return pd.Series(np.asarray(b, dtype=np.float64))
+
+    return _bound
+
+
 def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
         query_id: str = "query_id", data_id: str = "data_id",
-        max_ring: int = 64) -> DataFrame:
+        max_ring: int = 64, index: str = "s2") -> DataFrame:
     """Returns (query_id, data_id, dist_m, rank) with rank 1..k per query.
 
     Deterministic: ties broken by ascending data id. Exact: certified by
@@ -70,23 +89,25 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
     """
     spark = queries.sparkSession
     q = with_cell(queries.select(query_id, "lat", "lon"), level,
-                  out_col="qcell").cache()
-    d = with_cell(data.select(data_id, "lat", "lon"), level) \
+                  out_col="qcell", index=index).cache()
+    d = with_cell(data.select(data_id, "lat", "lon"), level,
+                  index=index) \
         .withColumnRenamed("lat", "dlat").withColumnRenamed("lon", "dlon")
     d = d.repartition(F.col("cell")).cache()
     d.count()
-
-    min_width_m = s2.min_width_rad(level) * EARTH_RADIUS_M
 
     results = None
     remaining = q
     r = 2  # bound is (r-1)*minWidth, so r=1 can never certify completeness
     while r <= max_ring:
         cand = (remaining
+                .withColumn("_bound",
+                            ring_bound_udf(level, r, index)(F.col("qcell")))
                 .withColumn("cell", F.explode(
-                    ring_cells_udf(level, r)(F.col("qcell"))))
+                    ring_cells_udf(level, r, index)(F.col("qcell"))))
                 .join(d, "cell", "inner")
-                .select(query_id, "lat", "lon", data_id, "dlat", "dlon"))
+                .select(query_id, "lat", "lon", "_bound",
+                        data_id, "dlat", "dlon"))
         cand = cand.withColumn(
             "dist_m", haversine_m(F.col("lat"), F.col("lon"),
                                   F.col("dlat"), F.col("dlon")))
@@ -94,12 +115,12 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
                                                  F.col(data_id).asc())
         topk = (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k))
-        bound = (r - 1) * min_width_m
         stats = (topk.groupBy(query_id)
                  .agg(F.count("*").alias("_n"),
-                      F.max("dist_m").alias("_dk")))
+                      F.max("dist_m").alias("_dk"),
+                      F.first("_bound").alias("_b")))
         done_ids = stats.filter((F.col("_n") >= k) &
-                                (F.col("_dk") <= F.lit(bound))) \
+                                (F.col("_dk") <= F.col("_b"))) \
                         .select(query_id)
         done = topk.join(F.broadcast(done_ids), query_id, "inner") \
                    .select(query_id, data_id, "dist_m", "rank")

@@ -30,30 +30,43 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, LongType
 
 from geeflow_spark.functions import geometry, s2
+from geeflow_spark.functions import hex as hexmod
+
+# Index twins (north rule: S2 AND H3-style hex, selectable everywhere).
+class _IndexMap(dict):
+    def __missing__(self, k):
+        raise KeyError(f"Unknown cell index `{k}`; have {sorted(self)}")
 
 
-def s2_cell_udf(level: int):
-    """Returns a pandas UDF (lat, lon) -> S2 cell id (as signed long)."""
+INDEXES = _IndexMap({"s2": s2, "hex": hexmod})
+
+
+def s2_cell_udf(level: int, index: str = "s2"):
+    """Returns a pandas UDF (lat, lon) -> cell id (as signed long) for
+    the chosen index twin ("s2" | "hex")."""
+    mod = INDEXES[index]
 
     @pandas_udf(LongType())
     def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        ids = s2.latlon_to_cell_id(lat.to_numpy(np.float64),
-                                   lon.to_numpy(np.float64), level)
-        return pd.Series(ids.astype(np.int64))
+        ids = mod.latlon_to_cell_id(lat.to_numpy(np.float64),
+                                    lon.to_numpy(np.float64), level)
+        return pd.Series(np.asarray(ids).astype(np.int64))
 
     return _enc
 
 
 def with_cell(df: DataFrame, level: int, lat_col: str = "lat",
-              lon_col: str = "lon", out_col: str = "cell") -> DataFrame:
-    """Adds the S2 cell-id column at `level`."""
-    return df.withColumn(out_col, s2_cell_udf(level)(F.col(lat_col),
-                                                     F.col(lon_col)))
+              lon_col: str = "lon", out_col: str = "cell",
+              index: str = "s2") -> DataFrame:
+    """Adds the cell-id column at `level` for the chosen index."""
+    return df.withColumn(out_col, s2_cell_udf(level, index)(
+        F.col(lat_col), F.col(lon_col)))
 
 
 def region_covers_pdf(regions: pd.DataFrame, level: int,
                       ring_col: str = "ring",
-                      id_col: str = "region_id") -> pd.DataFrame:
+                      id_col: str = "region_id",
+                      index: str = "s2") -> pd.DataFrame:
     """(cell, region_id) cover pairs for a small pandas region table.
 
     Cover = guaranteed superset of cells intersecting each polygon's bbox
@@ -63,7 +76,7 @@ def region_covers_pdf(regions: pd.DataFrame, level: int,
     for _, row in regions.iterrows():
         ring = np.asarray(row[ring_col], dtype=np.float64)
         x0, y0, x1, y1 = geometry.polygon_bbox(ring)
-        ids = s2.cover_bbox(y0, y1, x0, x1, level)
+        ids = INDEXES[index].cover_bbox(y0, y1, x0, x1, level)
         cells.append(ids.astype(np.int64))
         rids.append(np.full(len(ids), row[id_col], dtype=np.int64))
     return pd.DataFrame({
@@ -103,7 +116,8 @@ def join_points_regions(points: DataFrame, regions: pd.DataFrame,
                         level: int = 8, lat_col: str = "lat",
                         lon_col: str = "lon",
                         region_cols: tuple = ("region_id",),
-                        how: str = "inner") -> DataFrame:
+                        how: str = "inner",
+                        index: str = "s2") -> DataFrame:
     """Spatial inner/left join: point rows x containing regions.
 
     Broadcast path: candidate cells of all regions are broadcast; the
@@ -112,14 +126,14 @@ def join_points_regions(points: DataFrame, regions: pd.DataFrame,
     separate reducer, see `first_match`).
     """
     spark = points.sparkSession
-    covers = region_covers_pdf(regions, level)
+    covers = region_covers_pdf(regions, level, index=index)
     covers_df = spark.createDataFrame(covers)
     keep = [c for c in regions.columns if c in region_cols and c != "region_id"]
     if keep:
         props = spark.createDataFrame(regions[["region_id"] + keep])
         covers_df = covers_df.join(F.broadcast(props), "region_id")
 
-    pts = with_cell(points, level, lat_col, lon_col)
+    pts = with_cell(points, level, lat_col, lon_col, index=index)
     cand = pts.join(F.broadcast(covers_df), "cell", "inner")
     refined = cand.filter(
         pip_filter_udf(regions)(F.col(lat_col), F.col(lon_col),
@@ -172,7 +186,8 @@ def salted_cell_counts(points_with_cell: DataFrame, cell_col: str = "cell",
 def join_points_regions_smj(points: DataFrame, regions_df: DataFrame,
                             level: int = 8, lat_col: str = "lat",
                             lon_col: str = "lon",
-                            ring_col: str = "ring") -> DataFrame:
+                            ring_col: str = "ring",
+                            index: str = "s2") -> DataFrame:
     """Sort-merge-join path for LARGE polygon sides.
 
     Both sides are keyed by cell: points encode, regions explode their
@@ -195,7 +210,7 @@ def join_points_regions_smj(points: DataFrame, regions_df: DataFrame,
             for i in range(len(pdf)):
                 ring = np.asarray(pdf[ring_col].iloc[i], dtype=np.float64)
                 x0, y0, x1, y1 = geometry.polygon_bbox(ring)
-                ids = s2.cover_bbox(y0, y1, x0, x1, level).astype(np.int64)
+                ids = INDEXES[index].cover_bbox(y0, y1, x0, x1, level).astype(np.int64)
                 for c in pdf.columns:
                     out_rows[c].extend([pdf[c].iloc[i]] * len(ids))
                 out_cells.extend(ids.tolist())
@@ -204,7 +219,7 @@ def join_points_regions_smj(points: DataFrame, regions_df: DataFrame,
             yield out
 
     covers = regions_df.mapInPandas(_explode_covers, reg_schema)
-    pts = with_cell(points, level, lat_col, lon_col)
+    pts = with_cell(points, level, lat_col, lon_col, index=index)
     cand = pts.join(covers, "cell", "inner")
 
     @pandas_udf(BooleanType())

@@ -195,3 +195,41 @@ def test_md5_mod10_col_equals_hashlib(spark):
         u = int(np.uint64(np.int64(r["cell"])))
         exp = int(_h.md5(str(u).encode()).hexdigest(), 16) % 10
         assert int(r["b"]) == exp
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("index", ["s2", "hex"])
+def test_join_points_regions_both_indexes(spark, index):
+    # Same exact PIP output regardless of the index twin used for the
+    # candidate cover (the refine stage makes the join index-agnostic).
+    import pandas as pd
+    from geeflow_spark.operators import spatial_join
+    docs = synth.docs(spark, 2000).select("doc_id", "lat", "lon")
+    regions = synth.regions_pdf(12, radius_scale=2.0)
+    out = spatial_join.join_points_regions(docs, regions, level=6,
+                                           index=index)
+    got = set(map(tuple, out.select("doc_id", "region_id").toPandas()
+                  .itertuples(index=False)))
+    ref = spatial_join.join_points_regions(docs, regions, level=6,
+                                           index="s2" if index == "hex"
+                                           else "hex")
+    ref_set = set(map(tuple, ref.select("doc_id", "region_id").toPandas()
+                      .itertuples(index=False)))
+    assert got == ref_set and len(got) > 0
+
+
+@_pytest.mark.parametrize("index", ["s2", "hex"])
+def test_knn_both_indexes_vs_brute_force(spark, index):
+    from geeflow_spark.operators import knn as knn_mod
+    docs = synth.docs(spark, 1500).select(
+        F.col("doc_id").alias("data_id"), "lat", "lon")
+    q = synth.docs(spark, 1500).filter(F.col("doc_id") < "doc0000000015") \
+        .select(F.col("doc_id").alias("query_id"), "lat", "lon")
+    got = knn_mod.knn(q, docs, k=4, level=4, index=index) \
+        .select("query_id", "data_id", "rank").toPandas()
+    exp = knn_mod.knn_brute_force(q, docs, k=4) \
+        .select("query_id", "data_id", "rank").toPandas()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))  # noqa
+    assert key(got) == key(exp)
