@@ -189,3 +189,61 @@ def mosaic_assigned_tiles(assigned: DataFrame, *, zone_bboxes: dict,
 
     return (assigned.groupBy("utm_zone", "xs", "ys")
             .applyInPandas(_one, _OUT_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# columns_to_export DSL (export_rasters.py:153-189 `_extract_data`)
+# ---------------------------------------------------------------------------
+
+def parse_column_spec(column: str) -> dict:
+    """Parses one columns_to_export entry.
+
+    Modifier grammar, applied in the reference's exact order
+    (export_rasters.py:156-169):
+      "name@T"          -> temperature scaling with T
+      "name/D"          -> divide by D
+      "name_i"          -> time index i (select timestep)
+      "name:c1:c2:..."  -> channel selection
+    Modifiers compose, e.g. "probs:0:2/255@1.5_3".
+    """
+    temperature, divide_by, time_index, channels = 1.0, 1.0, None, None
+    if "@" in column:
+        column, t = column.split("@")
+        temperature = float(t)
+    if "/" in column:
+        column, d = column.split("/")
+        divide_by = float(d)
+    if "_" in column:
+        column, ti = column.split("_")
+        time_index = int(ti)
+    if ":" in column:
+        column, *ch = column.split(":")
+        channels = [int(x) for x in ch]
+    return {"name": column, "temperature": temperature,
+            "divide_by": divide_by, "time_index": time_index,
+            "channels": channels}
+
+
+def extract_column(arrays: dict, column: str) -> np.ndarray:
+    """npz-analog extraction with the DSL applied (export_rasters.py
+    `_extract_data`): channel slice -> time slice -> float32 -> divide
+    -> temperature scaling -> dim normalization to (B, H, W, C)."""
+    from geeflow_spark.functions import masks
+
+    spec = parse_column_spec(column)
+    preds = np.array(arrays[spec["name"]])
+    if spec["channels"]:
+        preds = preds[..., spec["channels"]]
+    if spec["time_index"] is not None:
+        preds = preds[:, spec["time_index"]]
+    if preds.dtype.kind == "f":
+        preds = preds.astype(np.float32)
+    if spec["divide_by"] != 1:
+        preds = preds / spec["divide_by"]
+    if spec["temperature"] != 1:
+        preds = masks.temp_scaling(preds, spec["temperature"])
+    if len(preds.shape) == 3:  # (B, H, W) -> add C
+        preds = np.expand_dims(preds, axis=-1)
+    if len(preds.shape) == 2:  # (B, C) -> add (H, W)
+        preds = np.expand_dims(preds, axis=(1, 2))
+    return preds

@@ -79,7 +79,8 @@ def _masked(b, m):
 def reduce_scenes(scenes: DataFrame, band_cols: list[str],
                   reducer: str = "mosaic",
                   key_cols: list[str] = ("cell",),
-                  mask_col: str = "mask") -> DataFrame:
+                  mask_col: str = "mask",
+                  max_scenes: int | None = None) -> DataFrame:
     """GroupBy key_cols, reduce each band array per pixel across scenes.
 
     Returns one row per key with `B<i>` reduced arrays and `valid` count
@@ -91,6 +92,24 @@ def reduce_scenes(scenes: DataFrame, band_cols: list[str],
         # Order-safe: collect (order-key, bands, mask) structs, sort_array
         # (explicit total order - collect_list alone is NOT order-stable
         # across shuffles), then fold first-non-null per pixel.
+        # Memory contract: the whole group is buffered in one aggregation
+        # state (T x P floats). `max_scenes` bounds that buffer by
+        # pre-ranking scenes in the SAME fold order and keeping the top K
+        # - identical output whenever any pixel is non-null within the
+        # first K scenes (at K=64 a pixel null in 64 consecutive scenes
+        # is mask-degenerate; semantics deviation is only the fill of
+        # such pixels).
+        if max_scenes is not None:
+            # EXACT same total order as _ordered_first_nonnull's fold
+            # ((ts*sign, crc32(scene_id)*sign) ascending), so the kept
+            # prefix is the fold's first K scenes.
+            sign = -1 if reducer == "mosaic" else 1
+            tie = (F.crc32(F.col("scene_id").cast("binary")) * sign
+                   if "scene_id" in scenes.columns else F.lit(0))
+            w = Window.partitionBy(*key_cols).orderBy(
+                (F.col("ts") * sign).asc(), tie.asc())
+            scenes = scenes.withColumn("_rn", F.row_number().over(w)) \
+                .filter(F.col("_rn") <= max_scenes).drop("_rn")
         return _ordered_first_nonnull(scenes, band_cols, key_cols, mask_col,
                                       newest_first=(reducer == "mosaic"))
 
@@ -336,3 +355,19 @@ def add_abs_time_difference(scenes: DataFrame, ref_ts_ms: int,
     """|ts - ref| in ms (ee_algo.py:444-448)."""
     return scenes.withColumn(out_col,
                              F.abs(F.col(ts_col) - F.lit(ref_ts_ms)))
+
+
+def filter_bounds_fallback_first(scenes: DataFrame, bounds_pred,
+                                 order_cols=("ts", "scene_id")) -> DataFrame:
+    """CCDC filterBounds-empty fallback (ee_algo.py:209-212): keep the
+    scenes matching `bounds_pred`; if NONE match, fall back to the
+    collection's first element (deterministic: min by `order_cols`).
+
+    The emptiness probe is one driver-side count - the exact analog of
+    the reference's server-side `ee.Algorithms.If(ccdc.size().eq(0),
+    ic.first(), ...)`, evaluated once per request, never per row.
+    """
+    filtered = scenes.filter(bounds_pred)
+    if filtered.isEmpty():
+        return scenes.orderBy(*[F.col(c).asc() for c in order_cols]).limit(1)
+    return filtered

@@ -66,17 +66,21 @@ def with_cell(df: DataFrame, level: int, lat_col: str = "lat",
 def region_covers_pdf(regions: pd.DataFrame, level: int,
                       ring_col: str = "ring",
                       id_col: str = "region_id",
-                      index: str = "s2") -> pd.DataFrame:
+                      index: str = "s2",
+                      buffer_deg: float = 0.0) -> pd.DataFrame:
     """(cell, region_id) cover pairs for a small pandas region table.
 
     Cover = guaranteed superset of cells intersecting each polygon's bbox
-    (see s2.cover_bbox); exact PIP refines later.
+    (see s2.cover_bbox), grown by `buffer_deg` when the join targets the
+    buffered polygon; exact (buffered) PIP refines later.
     """
+    grow = max(buffer_deg, 0.0)
     cells, rids = [], []
     for _, row in regions.iterrows():
         ring = np.asarray(row[ring_col], dtype=np.float64)
         x0, y0, x1, y1 = geometry.polygon_bbox(ring)
-        ids = INDEXES[index].cover_bbox(y0, y1, x0, x1, level)
+        ids = INDEXES[index].cover_bbox(y0 - grow, y1 + grow,
+                                        x0 - grow, x1 + grow, level)
         cells.append(ids.astype(np.int64))
         rids.append(np.full(len(ids), row[id_col], dtype=np.int64))
     return pd.DataFrame({
@@ -86,8 +90,13 @@ def region_covers_pdf(regions: pd.DataFrame, level: int,
 
 
 def pip_filter_udf(regions: pd.DataFrame, ring_col: str = "ring",
-                   id_col: str = "region_id"):
+                   id_col: str = "region_id", buffer_deg: float = 0.0):
     """Pandas UDF (lat, lon, region_id) -> bool exact containment.
+
+    With `buffer_deg` != 0 the test is Minkowski membership in the TRUE
+    buffered (or eroded, negative) polygon - distance-to-boundary form,
+    exact for non-convex rings (geometry.points_in_buffered_polygon;
+    EE geometry.buffer analog, ee_data.py:1187-1196).
 
     The region table rides inside the closure (it is small / broadcast by
     task serialization); the test vectorizes per distinct region in the
@@ -105,7 +114,12 @@ def pip_filter_udf(regions: pd.DataFrame, ring_col: str = "ring",
         for r in np.unique(rid_np):
             m = rid_np == r
             ring = rings.get(int(r))
-            if ring is not None:
+            if ring is None:
+                continue
+            if buffer_deg:
+                out[m] = geometry.points_in_buffered_polygon(
+                    px[m], py[m], ring, buffer_deg)
+            else:
                 out[m] = geometry.points_in_polygon(px[m], py[m], ring)
         return pd.Series(out)
 
@@ -117,7 +131,8 @@ def join_points_regions(points: DataFrame, regions: pd.DataFrame,
                         lon_col: str = "lon",
                         region_cols: tuple = ("region_id",),
                         how: str = "inner",
-                        index: str = "s2") -> DataFrame:
+                        index: str = "s2",
+                        buffer_deg: float = 0.0) -> DataFrame:
     """Spatial inner/left join: point rows x containing regions.
 
     Broadcast path: candidate cells of all regions are broadcast; the
@@ -126,7 +141,8 @@ def join_points_regions(points: DataFrame, regions: pd.DataFrame,
     separate reducer, see `first_match`).
     """
     spark = points.sparkSession
-    covers = region_covers_pdf(regions, level, index=index)
+    covers = region_covers_pdf(regions, level, index=index,
+                               buffer_deg=buffer_deg)
     covers_df = spark.createDataFrame(covers)
     keep = [c for c in regions.columns if c in region_cols and c != "region_id"]
     if keep:
@@ -136,8 +152,8 @@ def join_points_regions(points: DataFrame, regions: pd.DataFrame,
     pts = with_cell(points, level, lat_col, lon_col, index=index)
     cand = pts.join(F.broadcast(covers_df), "cell", "inner")
     refined = cand.filter(
-        pip_filter_udf(regions)(F.col(lat_col), F.col(lon_col),
-                                F.col("region_id")))
+        pip_filter_udf(regions, buffer_deg=buffer_deg)(
+            F.col(lat_col), F.col(lon_col), F.col("region_id")))
     if how == "inner":
         return refined.drop("cell")
     if how == "left":

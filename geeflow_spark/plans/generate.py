@@ -122,39 +122,120 @@ def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
     doc_id, spans, lat, lon, region_id, gridcode, class_name,
     utm_zone, tile_x, tile_y, split.
 
-    Plan shape (scale-first): scan -> S2 encode (1 Arrow pass) ->
-    broadcast hash join on cell -> fused PIP+tile+split kernel
-    (1 Arrow pass) -> JVM-side md5 split bucket. The document side never
-    shuffles; the only wide exchange is whatever aggregation the caller
-    adds downstream.
+    Plan shape (scale-first): scan -> ONE mapInPandas pass (S2 encode +
+    cover-cell candidate lookup via searchsorted + PIP refine + UTM tile
+    + split cell) -> JVM-side md5 split bucket. The cover table (cell ->
+    candidate regions) and the rings travel in the task closure - the
+    small broadcast side - so the document rows cross the Arrow boundary
+    exactly ONCE and the candidate fan-out (the old broadcast hash join,
+    2.7x row inflation on the JVM side and a second Arrow round-trip)
+    happens as a numpy gather inside the kernel.
+
+    Why this topology beats scan->encode UDF->BHJ->fused UDF at N->4N:
+    a Python-UDF stage occupies a JVM task thread AND a python worker
+    simultaneously; every extra JVM-side row (join fan-out) and Arrow
+    pass adds JVM CPU that competes with the python workers for the
+    same cores at high parallelism (measured on this box: JVM task CPU
+    inflated 30% from local[4] to local[16] on the old plan; see
+    BENCH/BASELINE.md). The document side never shuffles; the only wide
+    exchange is whatever aggregation the caller adds downstream.
     """
-    spark = docs.sparkSession
+    from geeflow_spark.functions import geometry, s2
+    from geeflow_spark.functions import utm as utm_lib
+
     covers = spatial_join.region_covers_pdf(regions, cell_level)
-    covers_df = spark.createDataFrame(covers)
+    # cell -> flat segment of candidate region ids (sorted for
+    # searchsorted lookup inside the kernel).
+    cov = covers.sort_values("cell")
+    cov_cells = cov["cell"].to_numpy(np.int64)
+    cov_rids = cov["region_id"].to_numpy(np.int64)
+    uc, ustart, ucnt = np.unique(cov_cells, return_index=True,
+                                 return_counts=True)
+    rings = {int(r["region_id"]): np.asarray(r["ring"], dtype=np.float64)
+             for _, r in regions.iterrows()}
     keep = [c for c in ("gridcode", "class_name") if c in regions.columns]
-    if keep:
-        props = spark.createDataFrame(regions[["region_id"] + keep])
-        covers_df = covers_df.join(F.broadcast(props), "region_id")
+    reg_ids_sorted = np.sort(regions["region_id"].to_numpy(np.int64))
+    reg_order = np.argsort(regions["region_id"].to_numpy(np.int64))
+    prop_arrays = {c: regions[c].to_numpy()[reg_order] for c in keep}
 
-    pts = spatial_join.with_cell(docs, cell_level)
-    cand = pts.join(F.broadcast(covers_df), "cell", "inner")
+    doc_fields = list(docs.schema.fields)
+    out_schema = StructType(
+        doc_fields
+        + [StructField("region_id", LongType())]
+        + [StructField("gridcode", LongType()) if c == "gridcode"
+           else StructField("class_name", StringType()) for c in keep]
+        + [StructField("utm_zone", StringType()),
+           StructField("tile_x", DoubleType()),
+           StructField("tile_y", DoubleType()),
+           StructField("split_cell", LongType())])
+    doc_cols = [f.name for f in doc_fields]
 
-    fused = fused_geo_udf(regions, tile_cell_size, tile_width, split_level)
-    refined = (cand
-               .withColumn("_g", fused(F.col("lat"), F.col("lon"),
-                                       F.col("region_id")))
-               .filter(F.col("_g.inside")))
-    bucket = splits.md5_mod10_col(F.col("_g.split_cell"))
-    out = (refined
-           .withColumn("utm_zone", F.col("_g.utm_zone"))
-           .withColumn("tile_x", F.col("_g.tile_x"))
-           .withColumn("tile_y", F.col("_g.tile_y"))
-           .withColumn("split",
-                       F.when(bucket == 9, "test")
-                        .when(bucket == 8, "val")
-                        .otherwise("train"))
-           .drop("_g", "cell"))
-    return out
+    def _kernel(batches):
+        half = tile_cell_size * tile_width / 2.0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            la = pdf["lat"].to_numpy(np.float64)
+            lo = pdf["lon"].to_numpy(np.float64)
+            if len(uc) == 0:
+                continue
+            cells = s2.latlon_to_cell_id(la, lo, cell_level) \
+                .astype(np.int64)
+            # candidate (doc, region) pairs via the cover segments
+            pos = np.searchsorted(uc, cells)
+            posc = np.minimum(pos, len(uc) - 1)
+            match = uc[posc] == cells
+            cnt = np.where(match, ucnt[posc], 0).astype(np.int64)
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            doc_ix = np.repeat(np.arange(n), cnt)
+            within = (np.arange(total)
+                      - np.repeat(np.cumsum(cnt) - cnt, cnt))
+            rid = cov_rids[np.repeat(ustart[posc], cnt) + within]
+            # exact PIP refine per region on the paired coords
+            pla, plo = la[doc_ix], lo[doc_ix]
+            inside = np.zeros(total, dtype=bool)
+            for r in np.unique(rid):
+                ring = rings.get(int(r))
+                if ring is None:
+                    continue
+                m = rid == r
+                inside[m] = geometry.points_in_polygon(plo[m], pla[m],
+                                                       ring)
+            doc_ix, rid = doc_ix[inside], rid[inside]
+            if len(doc_ix) == 0:
+                continue
+            # per-DOC tile + split (computed once per doc, gathered)
+            e, nn, zn, zl = utm_lib.from_latlon(la, lo)
+            x0 = np.round((e - half) / tile_cell_size) * tile_cell_size
+            y0 = np.round((nn - half) / tile_cell_size) * tile_cell_size
+            zone = (pd.Series(zn).astype(str)
+                    + pd.Series(zl).astype(str)).to_numpy()
+            scells = s2.latlon_to_cell_id(la, lo, split_level) \
+                .astype(np.int64)
+            out = pdf.iloc[doc_ix].reset_index(drop=True)
+            out["region_id"] = rid
+            ridx = np.searchsorted(reg_ids_sorted, rid)
+            for c in keep:
+                out[c] = prop_arrays[c][ridx]
+            out["utm_zone"] = zone[doc_ix]
+            out["tile_x"] = x0[doc_ix]
+            out["tile_y"] = y0[doc_ix]
+            out["split_cell"] = scells[doc_ix]
+            yield out
+
+    refined = docs.mapInPandas(_kernel, out_schema)
+    bucket = splits.md5_mod10_col(F.col("split_cell"))
+    return (refined
+            .withColumn("split",
+                        F.when(bucket == 9, "test")
+                         .when(bucket == 8, "val")
+                         .otherwise("train"))
+            .drop("split_cell")
+            .select(*doc_cols, "region_id", *keep,
+                    "utm_zone", "tile_x", "tile_y", "split"))
 
 
 def first_region_per_doc(examples: DataFrame) -> DataFrame:

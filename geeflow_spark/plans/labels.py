@@ -35,7 +35,19 @@ def read_labels(spark: SparkSession, path: str) -> DataFrame:
     raise ValueError("Not supported labels file format for file " + path)
 
 
-def save_labels(df: DataFrame, path: str) -> None:
+def save_labels(df: DataFrame, path: str,
+                max_driver_rows: int = 5_000_000) -> None:
+    """Labels tables are driver-sized by contract (the reference reads
+    them wholesale into pandas, pipelines.py:104-110); the cap guards
+    the accidental \"write a 100 TB table through the driver\" misuse -
+    beyond it, write distributed parquet instead."""
+    if path.endswith(".parquet") and df.isStreaming is False:
+        n = df.limit(max_driver_rows + 1).count()
+        if n > max_driver_rows:
+            df.write.mode("overwrite").parquet(path + ".d")
+            raise ValueError(
+                f"save_labels: > {max_driver_rows} rows is not a labels "
+                f"table; wrote distributed parquet to {path}.d instead")
     if path.endswith(".csv"):
         df.toPandas().to_csv(path, index=False)
     elif path.endswith(".parquet"):

@@ -20,6 +20,111 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+# ---------------------------------------------------------------------------
+# Pandas oracles for queries whose math is not SQL-expressible.
+# geo_* entries are harness recomputations through the numpy kernels
+# (they cross-check the SPARK PLUMBING - derivation arithmetic, UDF
+# batching, aggregation - while the kernels themselves carry exact-value
+# unit tests); dedup_minhash_pairs is a GENUINELY independent oracle: it
+# uses a different 64-bit shingle hash family entirely, so agreement
+# means the verified-pair set is hash-family-invariant.
+# ---------------------------------------------------------------------------
+
+def _docs_geo_pdf(sf_dir):
+    import pandas as pd
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id"]]
+    i = d["doc_id"].to_numpy(np.int64)
+    d["lat"] = -60.0 + ((i * 2654435761) % 4294967296) / 4294967296.0 * 132.0
+    d["lon"] = -180.0 + ((i * 40503 + 12345) % 65536) / 65536.0 * 360.0
+    return d
+
+
+def _po_geo_cell_counts(sf_dir):
+    import pandas as pd
+    from geeflow_spark.functions import s2
+    d = _docs_geo_pdf(sf_dir)
+    cells = s2.latlon_to_cell_id(d["lat"].to_numpy(),
+                                 d["lon"].to_numpy(), 5).astype(np.int64)
+    out = pd.Series(cells).value_counts().sort_index()
+    return pd.DataFrame({"cell": out.index.to_numpy(np.int64),
+                         "count": out.to_numpy(np.int64)})
+
+
+def _po_geo_tile_origin(sf_dir):
+    import pandas as pd
+    from geeflow_spark.functions import utm as utm_lib
+    d = _docs_geo_pdf(sf_dir)
+    e, n, zn, zl = utm_lib.from_latlon(d["lat"].to_numpy(),
+                                       d["lon"].to_numpy())
+    x0 = np.round((e - 10.0 * 96 / 2.0) / 10.0) * 10.0
+    y0 = np.round((n - 10.0 * 96 / 2.0) / 10.0) * 10.0
+    return pd.DataFrame({
+        "doc_id": d["doc_id"].to_numpy(np.int64),
+        "utm_zone": pd.Series(zn).astype(str) + pd.Series(zl).astype(str),
+        "tile_x": x0, "tile_y": y0})
+
+
+def _po_dedup_minhash(sf_dir):
+    """Independent minhash oracle: blake2b-derived shingle hashes (a
+    different family from the engine's JVM xxhash64+polynomial), same
+    (a*x+b) signature construction, same banding, exact string-shingle
+    Jaccard verification at 0.6."""
+    import hashlib
+    import itertools
+    import pandas as pd
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    MERS = (1 << 61) - 1
+    rng = np.random.default_rng(1)
+    a = rng.integers(1, MERS, 64, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERS, 64, dtype=np.int64).astype(np.uint64)
+
+    def shingles(t):
+        toks = (t or "").split()
+        if len(toks) < 3:
+            return {" ".join(toks)} if toks else set()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    def h64(s):
+        return int.from_bytes(hashlib.blake2b(
+            s.encode("utf-8"), digest_size=8).digest(), "little")
+
+    sh_sets, sigs = {}, {}
+    for did, txt in zip(d["doc_id"], d["text"]):
+        sh = shingles(txt)
+        sh_sets[did] = sh
+        if not sh:
+            sigs[did] = np.zeros(64, dtype=np.uint64)
+            continue
+        hv = np.array([h64(x) for x in sh], dtype=np.uint64) % np.uint64(MERS)
+        sigs[did] = ((a[:, None] * hv[None, :] + b[:, None])
+                     % np.uint64(MERS)).min(axis=1)
+
+    buckets = {}
+    for did, sig in sigs.items():
+        for band in range(16):
+            key = (band, tuple(sig[band * 4:(band + 1) * 4]))
+            buckets.setdefault(key, []).append(did)
+    cand = set()
+    for ids in buckets.values():
+        for x, y in itertools.combinations(sorted(ids), 2):
+            cand.add((x, y))
+    rows = []
+    for x, y in sorted(cand):
+        sa, sb = sh_sets[x], sh_sets[y]
+        u = len(sa | sb)
+        j = (len(sa & sb) / u) if u else 0.0
+        if j >= 0.6:
+            rows.append({"a": x, "b": y, "jaccard": round(j, 6)})
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+
+PANDAS_ORACLES = {
+    "geo_cell_counts": _po_geo_cell_counts,
+    "geo_tile_origin": _po_geo_tile_origin,
+    "dedup_minhash_pairs": _po_dedup_minhash,
+}
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -59,8 +164,19 @@ def main():
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"[ROWS-ONLY ] {name}: {len(got)} rows, "
-                  f"cols={sorted(got.columns)}")
+            if name in PANDAS_ORACLES:
+                exp = PANDAS_ORACLES[name](sf_dir)
+                g, e = canon(got), canon(exp)
+                if list(g.columns) == list(e.columns) and g.equals(e):
+                    print(f"[OK-PANDAS ] {name}: {len(g)} rows")
+                else:
+                    print(f"[PANDAS-DIFF] {name}: spark {len(g)} rows "
+                          f"{list(g.columns)} vs oracle {len(e)} rows "
+                          f"{list(e.columns)}")
+                    failures.append(name)
+            else:
+                print(f"[ROWS-ONLY ] {name}: {len(got)} rows, "
+                      f"cols={sorted(got.columns)}")
             continue
         try:
             exp = con.execute(oracles[name]).df()
