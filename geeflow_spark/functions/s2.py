@@ -187,13 +187,25 @@ def cell_id_to_face_ij(cell_id):
 
 
 def latlon_to_cell_id(lat_deg, lon_deg, level: int = MAX_LEVEL):
-    """(lat, lon) -> S2 cell id at `level`, vectorized.
+    """(lat, lon) -> S2 cell id at `level`, vectorized + cache-blocked.
 
     This is the `coords.latlon_to_s2` semantics used by the reference's
     geographic split (export_beam_tfds.py:101-102).
+
+    Blocking: the encode is ~30 full-array passes (xyz, face/uv, st/ij,
+    Hilbert lookup rounds); chunking keeps every pass L2-resident so
+    concurrent workers do not fight for DRAM (same rationale - and
+    measured effect - as geometry.points_in_polygon).
     """
-    xyz = latlon_to_xyz(lat_deg, lon_deg)
-    return xyz_to_cell_id(xyz, level)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    if lat.ndim == 0 or len(lat) <= 16384:
+        return xyz_to_cell_id(latlon_to_xyz(lat, lon), level)
+    out = np.empty(len(lat), dtype=np.uint64)
+    for i0 in range(0, len(lat), 16384):
+        sl = slice(i0, min(i0 + 16384, len(lat)))
+        out[sl] = xyz_to_cell_id(latlon_to_xyz(lat[sl], lon[sl]), level)
+    return out
 
 
 def xyz_to_cell_id(xyz, level: int = MAX_LEVEL):

@@ -98,6 +98,18 @@ def from_latlon(latitude, longitude, force_zone_number=None,
     lat = np.asarray(latitude, dtype=np.float64)
     lon = np.asarray(longitude, dtype=np.float64)
     scalar = lat.ndim == 0 and lon.ndim == 0
+    # Cache-block big batches: the Snyder series is ~20 full-array
+    # passes; L2-resident chunks keep concurrent workers off DRAM
+    # (same measured effect as geometry.points_in_polygon).
+    if not scalar and lat.ndim == 1 and len(lat) > 16384 \
+            and force_zone_number is None and force_zone_letter is None:
+        e = np.empty(len(lat)); n = np.empty(len(lat))
+        zn = np.empty(len(lat), dtype=np.int64)
+        zl = np.empty(len(lat), dtype="<U1")
+        for i0 in range(0, len(lat), 16384):
+            sl = slice(i0, min(i0 + 16384, len(lat)))
+            e[sl], n[sl], zn[sl], zl[sl] = from_latlon(lat[sl], lon[sl])
+        return e, n, zn, zl
 
     lat_rad = np.radians(lat)
     lat_sin = np.sin(lat_rad)
