@@ -272,6 +272,43 @@ def _q_dedup_minhash(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_simhash(spark, sf_dir):
+    # Banded simhash near-dup pairs; exact pandas oracle recomputes the
+    # JVM xxhash64 token hashing via tools/xxh64 (bit-for-bit).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.simhash_candidate_pairs(d, shingle_k=2, bands=4,
+                                        max_hamming=16)
+    return out.select("a", "b", F.col("hamming").cast("long")
+                      .alias("hamming"))
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    # EXACT all-pairs 3-gram Jaccard >= 0.5 (small-scale ground truth
+    # the LSH paths are judged against); SQL oracle via DuckDB list
+    # comprehensions over the same shingle definition.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.ngram_jaccard_pairs(d, threshold=0.5, shingle_k=3)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_embedding(spark, sf_dir):
+    # Embedding-cosine near-dup pairs (brute-force exact at gate scale;
+    # similarity.lsh_topk is the scale path for the same predicate).
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ed = e.select("vec_id", F.transform(F.col("embedding"),
+                                        lambda x: x.cast("double"))
+                  .alias("embedding"))
+    a = ed.select(F.col("vec_id").alias("a"),
+                  F.col("embedding").alias("_ea"))
+    b = ed.select(F.col("vec_id").alias("b"),
+                  F.col("embedding").alias("_eb"))
+    cand = (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+            .withColumn("cos", similarity.cosine_col(F.col("_ea"),
+                                                     F.col("_eb")))
+            .filter(F.col("cos") >= 0.4))
+    return cand.select("a", "b", F.round("cos", 6).alias("cos"))
+
+
 def _q_sim_cosine_topk(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ed = e.select("vec_id", F.transform(F.col("embedding"),
@@ -365,6 +402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash,
+        "dedup_simhash_pairs": _q_dedup_simhash,
+        "dedup_ngram_pairs": _q_dedup_ngram,
+        "dedup_embedding_pairs": _q_dedup_embedding,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_norms": _q_sim_norms,
         "spans_explode": _q_spans_explode,
@@ -611,6 +651,58 @@ def oracle_sql() -> dict[str, str]:
                    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
             FROM documents)
           GROUP BY k
+        """,
+        "dedup_ngram_pairs": r"""
+          WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE
+                     WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+                     THEN [array_to_string(
+                            string_split_regex(trim(text), '\s+')[i:i+2],
+                            ' ')
+                           for i in range(
+                             1,
+                             len(string_split_regex(trim(text),
+                                                    '\s+')) - 1)]
+                     WHEN length(trim(text)) > 0
+                     THEN [array_to_string(
+                             string_split_regex(trim(text), '\s+'), ' ')]
+                     ELSE []
+                   END) AS s
+            FROM documents)
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                       / (len(x.s) + len(y.s)
+                          - len(list_intersect(x.s, y.s))), 6) AS jaccard
+          FROM sh x, sh y
+          WHERE x.doc_id < y.doc_id
+            AND (len(x.s) + len(y.s)) > 0
+            AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                / (len(x.s) + len(y.s)
+                   - len(list_intersect(x.s, y.s))) >= 0.5
+        """,
+        "dedup_embedding_pairs": """
+          WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings)
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 ROUND(list_sum(list_transform(
+                         list_zip(a.emb, b.emb),
+                         p -> p[1] * p[2]))
+                       / (sqrt(list_sum(list_transform(a.emb,
+                                                       x -> x * x)))
+                          * sqrt(list_sum(list_transform(b.emb,
+                                                         x -> x * x)))),
+                       6) AS cos
+          FROM e a, e b
+          WHERE a.vec_id < b.vec_id
+            AND list_sum(list_transform(list_zip(a.emb, b.emb),
+                                        p -> p[1] * p[2]))
+                / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+                   * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
+                >= 0.4
         """,
         "sim_cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -84,7 +84,8 @@ def run_queries(sf_dir: str) -> dict:
         "geo_pip_rectangles", "geo_tile_assign", "geo_knn",
         "geo_cell_counts", "geo_cell_counts_hex", "rel_q1_pricing",
         "rel_q3_revenue", "rel_topk_window", "dedup_exact",
-        "dedup_minhash_pairs", "sim_cosine_topk", "text_token_counts",
+        "dedup_minhash_pairs", "dedup_simhash_pairs",
+        "sim_cosine_topk", "text_token_counts",
         "spans_explode", "src_s2_cloudfree_mosaic",
     ]
     timings = {}

@@ -368,3 +368,45 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
                                                 F.col("_shb")))
             .filter(F.col("jaccard") >= threshold)
             .select("a", "b", "jaccard"))
+
+
+def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", shingle_k: int = 2,
+                            bands: int = 4,
+                            max_hamming: int = 12) -> DataFrame:
+    """SimHash near-dup pairs (a < b, hamming <= max_hamming).
+
+    Banded LSH recall: the 64-bit simhash splits into `bands` 16-bit
+    keys; two docs are candidates iff they share a band value (any pair
+    within hamming distance < bands must share one, pigeonhole).
+    Candidate emission is the same groupBy + ordered-pair explode as
+    minhash (one signature pass, no self-join); the exact popcount
+    filter runs JVM-side (bit_count(a XOR b)).
+    """
+    sim = simhash_udf(shingle_k)
+    h = df.select(F.col(id_col), sim(F.col(text_col)).alias("_h"))
+    band_ix = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    width = 64 // bands
+    bh = h.select(id_col, "_h", band_ix).select(
+        id_col, "_h", "band",
+        F.expr(f"shiftrightunsigned(_h, band * {width}) "
+               f"& {(1 << width) - 1}").alias("bval"))
+    grouped = (bh.groupBy("band", "bval")
+               .agg(F.array_sort(F.collect_set(F.struct(F.col(id_col),
+                                                        F.col("_h"))))
+                    .alias("_ids"))
+               .filter(F.size("_ids") > 1))
+    ids = F.col("_ids")
+    pair_arr = F.flatten(F.transform(
+        ids, lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(1))),
+            lambda y: F.struct(x[id_col].alias("a"), y[id_col].alias("b"),
+                               x["_h"].alias("_ha"),
+                               y["_h"].alias("_hb")))))
+    pairs = (grouped.select(F.explode(pair_arr).alias("p"))
+             .select("p.a", "p.b",
+                     F.bit_count(F.col("p._ha").bitwiseXOR(F.col("p._hb")))
+                     .alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .distinct())
+    return pairs

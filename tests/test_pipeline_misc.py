@@ -202,3 +202,27 @@ def test_hash64_vectorized_matches_scalar():
         for byte in s.encode("utf-8"):
             h = ((h ^ byte) * 0x100000001B3) % (1 << 64)
         assert int(g) == h
+
+
+def test_simhash_candidate_pairs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the green forest all day long " * 2)
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [base, base.replace("green", "dark"),
+                 "entirely different words about spark shuffles"]})
+    # bands=16 -> pigeonhole guarantees recall for hamming <= 15
+    # (4 bands only guarantees hamming <= 3; near-dups here land ~9-15).
+    out = dedup.simhash_candidate_pairs(
+        spark.createDataFrame(pdf), bands=16, max_hamming=15).toPandas()
+    assert set(map(tuple, out[["a", "b"]].itertuples(index=False))) \
+        == {(1, 2)}
+    assert (out["hamming"] <= 15).all()
+
+
+def test_xxh64_twin_matches_spark(spark):
+    from tools.xxh64 import xxh64_str_signed
+    strs = ["", "a", "hello world", "x" * 40, "ünïcode ☃", "y" * 31]
+    df = spark.createDataFrame(pd.DataFrame({"s": strs}))
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    assert got == [xxh64_str_signed(s) for s in strs]

@@ -118,10 +118,56 @@ def _po_dedup_minhash(sf_dir):
     return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
 
 
+def _po_dedup_simhash(sf_dir):
+    """EXACT simhash recompute outside Spark: tools/xxh64 reproduces
+    the JVM xxhash64 token hashing bit-for-bit; the polynomial k-gram
+    combine, distinct-shingle bit fold, banding and hamming filter
+    mirror operators/dedup.py."""
+    import itertools
+    import re
+    import pandas as pd
+    from tools.xxh64 import xxh64_str_signed
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    POLY = np.uint64(0x100000001B3)
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def simhash(t):
+        toks = [x for x in re.split(r"\s+", (t or "").strip(" ")) if x]
+        if not toks:
+            return 0
+        th = np.array([np.uint64(xxh64_str_signed(x) % (1 << 64))
+                       for x in toks], dtype=np.uint64)
+        if len(th) >= 2:
+            sh = th[:-1] * POLY + th[1:]
+        else:
+            sh = th
+        sh = np.unique(sh)
+        bits = ((sh[:, None] >> shifts[None, :]) & np.uint64(1))             .astype(np.int64)
+        sums = (2 * bits - 1).sum(axis=0)
+        return int(((sums > 0).astype(np.uint64)
+                    << shifts).sum().astype(np.int64))
+
+    hs = {did: simhash(t) for did, t in zip(d["doc_id"], d["text"])}
+    buckets = {}
+    for did, h in hs.items():
+        hu = h % (1 << 64)
+        for band in range(4):
+            buckets.setdefault((band, (hu >> (band * 16)) & 0xFFFF),
+                               []).append(did)
+    rows = set()
+    for ids in buckets.values():
+        for x, y in itertools.combinations(sorted(ids), 2):
+            ham = bin((hs[x] ^ hs[y]) % (1 << 64)).count("1")
+            if ham <= 16:
+                rows.add((x, y, ham))
+    return pd.DataFrame(sorted(rows), columns=["a", "b", "hamming"])
+
+
 PANDAS_ORACLES = {
     "geo_cell_counts": _po_geo_cell_counts,
     "geo_tile_origin": _po_geo_tile_origin,
     "dedup_minhash_pairs": _po_dedup_minhash,
+    "dedup_simhash_pairs": _po_dedup_simhash,
 }
 
 
