@@ -362,6 +362,31 @@ def _q_src_s2_cloudfree_mosaic(spark, sf_dir):
                     .alias("ndvi")))
 
 
+def _q_mm_decode_shapes(spark, sf_dir):
+    # Multimodal plumbing through the REAL mapInPandas decode operator:
+    # documents -> binary media table -> decode (deterministic stub -
+    # no codec libs in this container, honestly documented) -> shape
+    # metadata. The ORACLE checks everything except the stubbed pixel
+    # values: schema, batching, per-row shape propagation, pixel COUNT.
+    from geeflow_spark.operators import multimodal
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = d.select(
+        F.concat(F.lit("media/"), F.col("doc_id").cast("string"))
+        .alias("media_ref"),
+        F.lit("image").alias("kind"),
+        F.sha2(F.col("doc_id").cast("string"), 256).cast("binary")
+        .alias("payload"),
+        (F.col("doc_id") % 48 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 32 + 16).cast("int").alias("height"))
+    out = multimodal.decode_image(media, fake=True)
+    return out.select(
+        "media_ref",
+        F.col("height").cast("long").alias("height"),
+        F.col("width").cast("long").alias("width"),
+        F.col("channels").cast("long").alias("channels"),
+        F.size("pixels").cast("long").alias("n_px"))
+
+
 def _q_stats_moments(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (ev.groupBy("event_type")
@@ -409,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_norms": _q_sim_norms,
         "spans_explode": _q_spans_explode,
         "src_s2_cloudfree_mosaic": _q_src_s2_cloudfree_mosaic,
+        "mm_decode_shapes": _q_mm_decode_shapes,
         "stats_moments": _q_stats_moments,
         "stats_hist_bins": _q_stats_hist_bins,
     }
@@ -765,6 +791,15 @@ def oracle_sql() -> dict[str, str]:
             FROM f)
           SELECT cell, scene_id, ROUND((B8 - B4) / (B8 + B4), 6) AS ndvi
           FROM r WHERE rn = 1
+        """,
+        "mm_decode_shapes": """
+          SELECT 'media/' || CAST(doc_id AS VARCHAR) AS media_ref,
+                 CAST(doc_id % 32 + 16 AS BIGINT) AS height,
+                 CAST(doc_id % 48 + 16 AS BIGINT) AS width,
+                 CAST(3 AS BIGINT) AS channels,
+                 CAST((doc_id % 32 + 16) * (doc_id % 48 + 16) * 3
+                      AS BIGINT) AS n_px
+          FROM documents
         """,
         "stats_moments": """
           SELECT event_type,

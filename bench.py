@@ -88,6 +88,14 @@ def run_queries(sf_dir: str) -> dict:
         "sim_cosine_topk", "text_token_counts",
         "spans_explode", "src_s2_cloudfree_mosaic",
     ]
+    # One tiny warmup through a pandas UDF: per-query timings should
+    # measure the QUERIES, not one-time session costs (python worker
+    # fork, Arrow codepath JIT, codegen warmup) that a long-lived
+    # cluster pays once. Before this, the first geo query absorbed
+    # ~5s of spin-up and dominated its own number.
+    qs["geo_cell_counts"](spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
+
     timings = {}
     for name in bench_set:
         t0 = time.monotonic()
