@@ -54,6 +54,16 @@ def test_stream_matches_batch_exactly_once(spark, tmp_path):
     assert offs == sorted(offs)
     # batch-id partition dirs exist (idempotent overwrite-by-batch sink)
     assert any(d.startswith("batch_id=") for d in os.listdir(out))
+    # per-batch lineage/metrics manifests (north rule: lineage on the
+    # streaming tail, same layout as the batch checkpoint layer)
+    import json
+    mdir = os.path.join(out, "_manifest")
+    recs = [json.load(open(os.path.join(mdir, f)))
+            for f in sorted(os.listdir(mdir))]
+    assert len(recs) >= 2  # one per committed micro-batch
+    assert sum(r["rows"] for r in recs) == got2.count()
+    assert all(r["lineage"]["id_min"] <= r["lineage"]["id_max"]
+               for r in recs)
 
 
 def test_stream_dedup_builtin_across_batches(spark, tmp_path):
