@@ -132,7 +132,10 @@ def _q_geo_knn(spark, sf_dir):
     q = docs.filter(F.col("doc_id") < 20) \
         .select(F.col("doc_id").alias("query_id"), "lat", "lon")
     d = docs.select(F.col("doc_id").alias("data_id"), "lat", "lon")
-    out = knn.knn(q, d, k=5, level=4)
+    # threshold=0: the gate exercises the RING path (the scale
+    # machinery) even though the gate-sized data would take the
+    # cost-based brute-force shortcut by default.
+    out = knn.knn(q, d, k=5, level=4, brute_force_threshold=0)
     return out.select("query_id", "data_id",
                       F.col("rank").cast("long").alias("rank"))
 

@@ -80,12 +80,20 @@ def ring_bound_udf(level: int, ring: int, index: str = "s2"):
 
 def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
         query_id: str = "query_id", data_id: str = "data_id",
-        max_ring: int = 64, index: str = "s2") -> DataFrame:
+        max_ring: int = 64, index: str = "s2",
+        brute_force_threshold: int = 200_000) -> DataFrame:
     """Returns (query_id, data_id, dist_m, rank) with rank 1..k per query.
 
     Deterministic: ties broken by ascending data id. Exact: certified by
     the ring-completeness bound, with brute-force fallback for any query
     the schedule leaves unfinished.
+
+    Cost-based path selection: the data-side count is materialized
+    anyway (for the cached cell partitioning); when it is under
+    `brute_force_threshold`, the exact broadcast brute-force path wins
+    outright - the ring machinery's per-round stages only pay off once
+    candidate pruning beats a full pass (identical output either way;
+    both paths are exact with the same tiebreak).
     """
     spark = queries.sparkSession
     q = with_cell(queries.select(query_id, "lat", "lon"), level,
@@ -94,7 +102,15 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
                   index=index) \
         .withColumnRenamed("lat", "dlat").withColumnRenamed("lon", "dlon")
     d = d.repartition(F.col("cell")).cache()
-    d.count()
+    n_data = d.count()
+    if n_data <= brute_force_threshold:
+        out = knn_brute_force(q.drop("qcell"), d.select(
+            data_id, F.col("dlat").alias("lat"),
+            F.col("dlon").alias("lon")), k, query_id, data_id).cache()
+        out.count()
+        q.unpersist()
+        d.unpersist()
+        return out
 
     results = None
     remaining = q

@@ -227,9 +227,24 @@ def test_knn_both_indexes_vs_brute_force(spark, index):
         F.col("doc_id").alias("data_id"), "lat", "lon")
     q = synth.docs(spark, 1500).filter(F.col("doc_id") < "doc0000000015") \
         .select(F.col("doc_id").alias("query_id"), "lat", "lon")
-    got = knn_mod.knn(q, docs, k=4, level=4, index=index) \
+    got = knn_mod.knn(q, docs, k=4, level=4, index=index,
+                      brute_force_threshold=0) \
         .select("query_id", "data_id", "rank").toPandas()
     exp = knn_mod.knn_brute_force(q, docs, k=4) \
         .select("query_id", "data_id", "rank").toPandas()
     key = lambda df: sorted(map(tuple, df.itertuples(index=False)))  # noqa
     assert key(got) == key(exp)
+
+
+def test_knn_cost_based_fast_path_identical(spark):
+    from geeflow_spark.operators import knn as knn_mod
+    docs = synth.docs(spark, 800).select(
+        F.col("doc_id").alias("data_id"), "lat", "lon")
+    q = synth.docs(spark, 800).filter(F.col("doc_id") < "doc0000000010") \
+        .select(F.col("doc_id").alias("query_id"), "lat", "lon")
+    ring = knn_mod.knn(q, docs, k=3, level=4, brute_force_threshold=0) \
+        .select("query_id", "data_id", "rank").toPandas()
+    fast = knn_mod.knn(q, docs, k=3, level=4) \
+        .select("query_id", "data_id", "rank").toPandas()
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))  # noqa
+    assert key(ring) == key(fast)
