@@ -247,3 +247,73 @@ def extract_column(arrays: dict, column: str) -> np.ndarray:
     if len(preds.shape) == 2:  # (B, C) -> add (H, W)
         preds = np.expand_dims(preds, axis=(1, 2))
     return preds
+
+
+def select_export_column(df: DataFrame, column: str,
+                         tensor_cols: dict | None = None) -> DataFrame:
+    """columns_to_export entry -> mosaic-ready (tensor, h, w, c) columns.
+
+    The Spark form of the reference's per-column export loop
+    (export_rasters.py:408-419 iterates columns_to_export and runs the
+    whole mosaic per column): the named prediction head is selected and
+    the DSL modifiers (channel slice / time index / divide /
+    temperature) are applied, emitting the canonical `tensor` column
+    `mosaic_assigned_tiles` consumes.
+
+    `tensor_cols` maps head name -> (array_col, t_col|None); default:
+    the head name IS the array column, no time axis. Rows are processed
+    as one stacked numpy batch when shapes agree (the export contract -
+    pred_h/w/c are constants per table), falling back to per-row numpy
+    otherwise.
+    """
+    spec = parse_column_spec(column)
+    arr_col, t_col = (tensor_cols or {}).get(spec["name"],
+                                             (spec["name"], None))
+
+    def _apply(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            hs = pdf["h"].to_numpy()
+            ws = pdf["w"].to_numpy()
+            cs = pdf["c"].to_numpy()
+            uniform = len(set(hs)) == 1 and len(set(ws)) == 1 \
+                and len(set(cs)) == 1
+            out_rows = []
+            if uniform:
+                h, w, c = int(hs[0]), int(ws[0]), int(cs[0])
+                mat = np.stack([np.asarray(x, dtype=np.float32)
+                                for x in pdf[arr_col]])
+                if t_col:
+                    t = int(pdf[t_col].iloc[0])
+                    mat = mat.reshape(len(pdf), t, h, w, c)
+                else:
+                    mat = mat.reshape(len(pdf), h, w, c)
+                got = extract_column({spec["name"]: mat}, column)
+                out = pdf.copy()
+                out["tensor"] = [r.ravel().tolist() for r in got]
+                out["c"] = got.shape[-1]
+                out_rows.append(out)
+            else:
+                for i in range(len(pdf)):
+                    h, w, c = int(hs[i]), int(ws[i]), int(cs[i])
+                    mat = np.asarray(pdf[arr_col].iloc[i],
+                                     dtype=np.float32)
+                    mat = mat.reshape(1, h, w, c)
+                    got = extract_column({spec["name"]: mat}, column)
+                    row = pdf.iloc[[i]].copy()
+                    row["tensor"] = [got[0].ravel().tolist()]
+                    row["c"] = got.shape[-1]
+                    out_rows.append(row)
+            yield pd.concat(out_rows, ignore_index=True)
+
+    fields = [f for f in df.schema.fields if f.name != "tensor"]
+    names = {f.name for f in fields}
+    out_fields = list(fields)
+    if "tensor" not in names:
+        out_fields.append(StructField("tensor", ArrayType(FloatType())))
+    else:
+        out_fields = [f if f.name != "tensor"
+                      else StructField("tensor", ArrayType(FloatType()))
+                      for f in df.schema.fields]
+    return df.mapInPandas(_apply, StructType(out_fields))

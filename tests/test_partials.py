@@ -130,3 +130,17 @@ def test_save_labels_cap(spark, tmp_path):
     with pytest.raises(ValueError, match="not a labels table"):
         labels_mod.save_labels(synth.docs(spark, 30), str(tmp_path / "b.parquet"),
                                max_driver_rows=10)
+
+
+def test_select_export_column_dsl(spark):
+    # predictions table with a named head `probs` (flat h*w*c arrays);
+    # the DSL selects channel 1 and divides by 2.
+    pred = synth.predictions(spark, 20, h=4, w=4, c=2) \
+        .withColumnRenamed("tensor", "probs")
+    out = rx.select_export_column(pred, "probs:1/2")
+    row = out.limit(1).toPandas().iloc[0]
+    assert row["c"] == 1 and len(row["tensor"]) == 4 * 4 * 1
+    raw = pred.limit(1).toPandas().iloc[0]
+    exp = (np.asarray(raw["probs"], dtype=np.float32)
+           .reshape(4, 4, 2)[..., [1]] / 2.0)
+    assert np.allclose(np.asarray(row["tensor"]).reshape(4, 4, 1), exp)
