@@ -347,3 +347,27 @@ def _ccdc_annual(df: DataFrame, name: str, fmt: dict, kw: dict) -> DataFrame:
                          if c not in ("tStart", "tEnd", "coefs")],
                        F.col("_c.tensor").alias(f"{name}/ccdc"),
                        F.col("_c.mask").alias(f"{name}_mask/ccdc")))
+
+
+def standardized_path(path: str, split_name: str | None = None,
+                      postfix: str | None = None,
+                      default_dir: str | None = None,
+                      file_extension: str = ".json") -> str:
+    """Constructs/adjusts full paths for metadata files - semantic port
+    of utils.py:221-254 (tfds-name ':' -> '/', default-dir anchoring,
+    split subdir, '_postfix' vs '/postfix', extension suffix)."""
+    import os
+    if not path.startswith("/"):
+        path = path.replace(":", "/")  # tfds name string
+        if default_dir is not None:
+            path = os.path.join(default_dir, path)
+    if split_name:
+        path = os.path.join(path, split_name)
+    if postfix:
+        if path.endswith("/"):
+            path = os.path.join(path, postfix)
+        else:
+            path = f"{path}_{postfix}"
+    if not path.endswith(file_extension):
+        path += file_extension
+    return path

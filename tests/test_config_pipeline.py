@@ -176,3 +176,45 @@ def test_ccdc_year_selection_guard(spark):
     out = cfg_mod.run_pipeline(spark, c)
     row = out["ccdc"].collect()[0]
     assert len(row["ccdc/ccdc"]) > 0 and len(row["ccdc_mask/ccdc"]) > 0
+
+
+def test_parse_arg_reference_table():
+    # Exact mirrors of the reference's utils_test.py cases.
+    spec = dict(res=224, lr=0.1, runlocal=False, schedule="short")
+    for lazy in (False, True):
+        for arg, exp in [
+            (None, (False, "short", 224, 0.1)),
+            ("", (False, "short", 224, 0.1)),
+            ("runlocal=True", (True, "short", 224, 0.1)),
+            ("runlocal=False", (False, "short", 224, 0.1)),
+            ("runlocal=", (False, "short", 224, 0.1)),
+            ("runlocal", (True, "short", 224, 0.1)),
+            ("res=128", (False, "short", 128, 0.1)),
+            ("128", (False, "short", 128, 0.1)),
+            ("schedule=long", (False, "long", 224, 0.1)),
+            ("runlocal,schedule=long,res=128", (True, "long", 128, 0.1)),
+        ]:
+            r = cfg_mod.parse_arg(arg, lazy=lazy, **spec)
+            assert (r.runlocal, r.schedule, r.res, r.lr) == exp, arg
+            assert isinstance(r.runlocal, bool)
+            assert isinstance(r.res, int) and isinstance(r.lr, float)
+    # lazy table (utils_test.py:64-73)
+    for arg, spec2, exp in [
+        (None, {}, {}),
+        (None, {"res": 224}, {"res": 224}),
+        ("640", {"res": 224}, {"res": 640}),
+        ("runlocal", {}, {"runlocal": True}),
+        ("res=640,lr=0.1,runlocal=false,schedule=long", {},
+         {"res": 640, "lr": 0.1, "runlocal": False, "schedule": "long"}),
+    ]:
+        assert dict(cfg_mod.parse_arg(arg, lazy=True, **spec2)) == exp
+
+
+def test_standardized_path_reference_value():
+    # utils_test.py:75-82 exact value.
+    assert cfg_mod.standardized_path(
+        "planted/x:0.0.1", split_name="test", postfix="100n") \
+        == "planted/x/0.0.1/test_100n.json"
+    assert cfg_mod.standardized_path(
+        "/abs/dir", split_name="val", file_extension=".txt") \
+        == "/abs/dir/val.txt"
