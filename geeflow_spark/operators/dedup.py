@@ -36,6 +36,11 @@ from pyspark.sql.types import ArrayType, LongType
 
 _MERSENNE = (1 << 61) - 1
 
+# Candidate-pair caches still live from prior minhash_duplicate_pairs
+# calls; the next call unpersists them (bounded cache growth in
+# long-lived sessions).
+_live_candidate_caches: list = []
+
 
 def _token_shingles(text: str, k: int) -> set:
     """Python-side mirror of shingle semantics (tests / small oracles)."""
@@ -104,6 +109,38 @@ def token_hashes_col(text: Column) -> Column:
     consecutive token hashes in numpy (`_shingle_hashes_flat`)."""
     toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
     return F.transform(toks, lambda t: F.xxhash64(t))
+
+
+def _md5_64(col: Column) -> Column:
+    """Signed-int64 reinterpretation of the top 64 bits of md5(col),
+    all JVM-side. conv() caps at unsigned 64-bit; the decimal dance
+    recovers two's complement without a >2^63 python literal crossing
+    py4j (which cannot carry one)."""
+    dec = F.conv(F.substring(F.md5(col), 1, 16), 16, 10) \
+        .cast("decimal(20,0)")
+    wrap = F.when(dec >= F.expr("CAST('9223372036854775808'"
+                                " AS DECIMAL(20,0))"),
+                  F.expr("CAST('18446744073709551616' AS DECIMAL(21,0))")
+                  ).otherwise(F.lit(0))
+    return (dec - wrap).cast("long")
+
+
+def md5_token_hashes_col(text: Column) -> Column:
+    """text -> array<long>: md5-top-64-bits of each whitespace token.
+
+    An alternative JVM-side hash family to `token_hashes_col`. Slower
+    than xxhash64 (keep xxh64 the default at scale), but md5 is
+    computable in ANSI SQL on BOTH engines, which makes every
+    downstream signature (simhash bit fold, banding, hamming)
+    recomputable by the DuckDB oracle — the driver-verifiability
+    recipe pioneered by hex.hex_cell_sql.
+    """
+    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+    return F.transform(toks, _md5_64)
+
+
+TOKEN_HASH_FAMILIES = {"xxh64": token_hashes_col,
+                       "md5": md5_token_hashes_col}
 
 
 _POLY = np.uint64(0x100000001B3)
@@ -255,7 +292,8 @@ def _jaccard_col(a: Column, b: Column) -> Column:
 def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", num_perm: int = 64,
                             bands: int = 16, shingle_k: int = 3,
-                            verify_jaccard: float | None = 0.7) -> DataFrame:
+                            verify_jaccard: float | None = 0.7,
+                            max_bucket: int = 4096) -> DataFrame:
     """Candidate (a, b) near-dup pairs (a < b), optionally verified by
     exact shingle Jaccard >= threshold.
 
@@ -264,19 +302,26 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
     shingle Jaccard up to 64-bit shingle-hash collisions. Only the
     candidate pairs (a vanishing fraction at any real threshold) reach
     this stage.
+
+    `max_bucket` bounds per-bucket pair blowup (see
+    simhash_candidate_pairs): buckets above the cap are dropped before
+    the O(bucket^2) explode — a degenerate hot bucket means thousands
+    of copies of one template, which exact_dedup handles at O(n).
+    None disables the cap.
     """
     buckets = minhash_band_buckets(df, text_col, id_col, num_perm, bands,
                                    shingle_k)
     # ONE signature pass: groupBy bucket + JVM-side ordered-pair
     # emission, instead of a self-join (which would shuffle and
     # recompute the signature subtree for BOTH aliases). Per-bucket
-    # work is quadratic in bucket size by LSH construction; hot buckets
-    # (boilerplate-heavy corpora) should be capped upstream via
-    # max_bucket before the pair explosion.
+    # work is quadratic in bucket size by LSH construction; max_bucket
+    # caps the degenerate case before the pair explosion.
     grouped = (buckets.groupBy("band", "band_hash")
                .agg(F.array_sort(F.collect_set(F.col(id_col)))
                     .alias("_ids"))
                .filter(F.size("_ids") > 1))
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
     ids = F.col("_ids")
     pair_arr = F.flatten(F.transform(
         ids, lambda x, i: F.transform(
@@ -292,7 +337,14 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
     # (near-dup candidates), and without this the whole signature
     # pipeline re-evaluates per consumer (the static plan shows 3x the
     # scans; AQE exchange reuse only partially saves it).
+    # Cache lifetime: each call releases the PREVIOUS call's candidate
+    # cache (the result DataFrame of that call has normally been fully
+    # consumed by then), so long-lived sessions hold at most one
+    # candidate-pair cache instead of accumulating one per call.
     pairs = pairs.persist()
+    while _live_candidate_caches:
+        _live_candidate_caches.pop().unpersist(blocking=False)
+    _live_candidate_caches.append(pairs)
     # Exact-Jaccard verification shingles are computed ONLY for docs
     # that appear in a candidate pair (semi-join filter first): at any
     # real threshold that is a vanishing fraction of the corpus.
@@ -314,13 +366,16 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
             .select("a", "b", "jaccard"))
 
 
-def simhash_udf(shingle_k: int = 2) -> Callable[[Column], Column]:
+def simhash_udf(shingle_k: int = 2,
+                hash_family: str = "xxh64") -> Callable[[Column], Column]:
     """text column -> 64-bit simhash (as signed long).
 
-    Shingle hashing is JVM-side; the bit fold is one segmented numpy
+    Shingle hashing is JVM-side (`hash_family`: "xxh64" fast default,
+    "md5" SQL-recomputable); the bit fold is one segmented numpy
     reduction over the Arrow batch (bits matrix + add.reduceat), no
     per-row Python.
     """
+    token_hash = TOKEN_HASH_FAMILIES[hash_family]
     shifts = np.arange(64, dtype=np.uint64)
 
     @pandas_udf(LongType())
@@ -349,7 +404,7 @@ def simhash_udf(shingle_k: int = 2) -> Callable[[Column], Column]:
         return pd.Series(out)
 
     def apply(text: Column) -> Column:
-        return _sim(token_hashes_col(text))
+        return _sim(token_hash(text))
 
     return apply
 
@@ -379,7 +434,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
 def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_k: int = 2,
                             bands: int = 4,
-                            max_hamming: int = 12) -> DataFrame:
+                            max_hamming: int = 12,
+                            hash_family: str = "xxh64",
+                            max_bucket: int = 4096) -> DataFrame:
     """SimHash near-dup pairs (a < b, hamming <= max_hamming).
 
     Banded LSH recall: the 64-bit simhash splits into `bands` 16-bit
@@ -388,8 +445,15 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     Candidate emission is the same groupBy + ordered-pair explode as
     minhash (one signature pass, no self-join); the exact popcount
     filter runs JVM-side (bit_count(a XOR b)).
+
+    `max_bucket` bounds per-bucket blowup: a degenerate hot bucket
+    (boilerplate corpus — many near-identical simhashes) would emit
+    O(bucket^2) pairs from ONE task row; buckets larger than the cap
+    are dropped (their members are mutual near-dups of a template —
+    callers wanting those use exact_dedup on the template). None
+    disables the cap.
     """
-    sim = simhash_udf(shingle_k)
+    sim = simhash_udf(shingle_k, hash_family=hash_family)
     h = df.select(F.col(id_col), sim(F.col(text_col)).alias("_h"))
     band_ix = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     width = 64 // bands
@@ -402,6 +466,8 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                                                         F.col("_h"))))
                     .alias("_ids"))
                .filter(F.size("_ids") > 1))
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("_ids") <= max_bucket)
     ids = F.col("_ids")
     pair_arr = F.flatten(F.transform(
         ids, lambda x, i: F.transform(
