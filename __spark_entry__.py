@@ -383,6 +383,32 @@ def _q_src_s2_cloudfree_mosaic(spark, sf_dir):
                     .alias("ndvi")))
 
 
+def _q_src_s2_quality_mosaic(spark, sf_dir):
+    # qualityMosaic(band) reducer (ee_algo.py:255-256) through the real
+    # engine path: catalog source -> standing + cloud filters -> per-cell
+    # per-pixel argmax composite by an NDVI quality band. Ordering runs
+    # in full double precision (ties pinned to ts, scene_id - later
+    # wins); outputs are re-rounded to the exact 0.1 grid the synth
+    # bands live on, so the float32 patch contract cannot smear them.
+    from geeflow_spark.operators import reducers
+    src = catalog.demo_s2_source(sf_dir)
+    df = catalog.cloud_filtered(src, spark, 30.0)
+    df = df.select(
+        "cell", "ts", "scene_id",
+        F.array(F.col("B4")).alias("b4"),
+        F.array(F.col("B8")).alias("b8"),
+        F.array((F.col("B8") - F.col("B4"))
+                / (F.col("B8") + F.col("B4"))).alias("ndvi"),
+        F.array(F.lit(1).cast("tinyint")).alias("mask"))
+    red = reducers.reduce_scenes(df, ["b4", "b8", "ndvi"], "qualityMosaic",
+                                 key_cols=["cell"], quality_band="ndvi")
+    return red.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.round(F.col("b4")[0].cast("double"), 1).alias("b4"),
+        F.round(F.col("b8")[0].cast("double"), 1).alias("b8"),
+        F.col("valid")[0].cast("long").alias("nvalid"))
+
+
 def _q_mm_decode_shapes(spark, sf_dir):
     # Multimodal plumbing through the REAL mapInPandas decode operator:
     # documents -> binary media table -> decode (deterministic stub -
@@ -455,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_norms": _q_sim_norms,
         "spans_explode": _q_spans_explode,
         "src_s2_cloudfree_mosaic": _q_src_s2_cloudfree_mosaic,
+        "src_s2_quality_mosaic": _q_src_s2_quality_mosaic,
         "mm_decode_shapes": _q_mm_decode_shapes,
         "stats_moments": _q_stats_moments,
         "stats_hist_bins": _q_stats_hist_bins,
@@ -886,6 +913,27 @@ def oracle_sql() -> dict[str, str]:
                      AS rn
             FROM f)
           SELECT cell, scene_id, ROUND((B8 - B4) / (B8 + B4), 6) AS ndvi
+          FROM r WHERE rn = 1
+        """,
+        "src_s2_quality_mosaic": f"""
+          WITH s2 AS (
+            SELECT event_id AS scene_id, user_id % 50 AS cell, ts,
+                   {catalog.DEMO_CLOUD_SQL} AS cpp,
+                   {catalog.DEMO_B4_SQL} AS B4,
+                   {catalog.DEMO_B8_SQL} AS B8
+            FROM events),
+          f AS (SELECT * FROM s2 WHERE cpp <= 100 AND cpp < 30),
+          r AS (
+            SELECT cell, B4, B8,
+                   COUNT(*) OVER (PARTITION BY cell) AS nvalid,
+                   row_number() OVER (
+                     PARTITION BY cell
+                     ORDER BY (B8 - B4) / (B8 + B4) DESC,
+                              ts DESC, scene_id DESC) AS rn
+            FROM f)
+          SELECT CAST(cell AS BIGINT) AS cell,
+                 ROUND(B4, 1) AS b4, ROUND(B8, 1) AS b8,
+                 CAST(nvalid AS BIGINT) AS nvalid
           FROM r WHERE rn = 1
         """,
         "mm_decode_shapes": """

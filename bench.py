@@ -87,6 +87,7 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_minhash_pairs", "dedup_simhash_pairs",
         "sim_cosine_topk", "text_token_counts",
         "spans_explode", "src_s2_cloudfree_mosaic",
+        "src_s2_quality_mosaic",
     ]
     # One tiny warmup through a pandas UDF: per-query timings should
     # measure the QUERIES, not one-time session costs (python worker

@@ -192,6 +192,102 @@ def mosaic_assigned_tiles(assigned: DataFrame, *, zone_bboxes: dict,
 
 
 # ---------------------------------------------------------------------------
+# einops.rearrange analog (export_rasters.py:236-237: predictions of
+# shape (n, ..., y, x, c) pass through `einops.rearrange(pred, spec)`
+# before split assignment). Pure-numpy subset parser: named axes,
+# transposition, and parenthesized merge/split groups - the operations
+# a layout spec string uses. No einops dependency in this container.
+# ---------------------------------------------------------------------------
+
+def _parse_axes(side: str) -> list[list[str]]:
+    """'a (b c) d' -> [['a'], ['b', 'c'], ['d']]."""
+    groups, i, toks = [], 0, side.split()
+    while i < len(toks):
+        t = toks[i]
+        if t.startswith("("):
+            grp = []
+            t = t[1:]
+            while True:
+                done = t.endswith(")")
+                t = t[:-1] if done else t
+                if t:
+                    grp.append(t)
+                if done:
+                    break
+                i += 1
+                t = toks[i]
+            groups.append(grp)
+        else:
+            groups.append([t])
+        i += 1
+    return groups
+
+
+def einops_rearrange(arr: np.ndarray, spec: str, **sizes) -> np.ndarray:
+    """numpy equivalent of einops.rearrange for reshape/transpose specs.
+
+    Supports named axes, '(a b)' merge/split groups on either side; every
+    axis name must appear exactly once per side; split-group sizes come
+    from `sizes` (all but one axis per input group may be inferred).
+    """
+    lhs, rhs = (s.strip() for s in spec.split("->"))
+    lg, rg = _parse_axes(lhs), _parse_axes(rhs)
+    lflat = [a for g in lg for a in g]
+    rflat = [a for g in rg for a in g]
+    if sorted(lflat) != sorted(rflat):
+        raise ValueError(f"axes mismatch in `{spec}`")
+    if len(lg) != arr.ndim:
+        raise ValueError(f"`{spec}` lhs has {len(lg)} dims, "
+                         f"input has {arr.ndim}")
+    # resolve elementary axis sizes from input shape + sizes kwargs
+    dim = dict(sizes)
+    for g, n in zip(lg, arr.shape):
+        known = [a for a in g if a in dim]
+        unknown = [a for a in g if a not in dim]
+        prod = int(np.prod([dim[a] for a in known])) if known else 1
+        if len(unknown) > 1:
+            raise ValueError(f"cannot infer sizes of {unknown} in `{spec}`")
+        if unknown:
+            if n % prod:
+                raise ValueError(f"dim {n} not divisible by {prod}")
+            dim[unknown[0]] = n // prod
+        elif prod != n:
+            raise ValueError(f"group {g} sizes {prod} != input dim {n}")
+    expanded = arr.reshape([dim[a] for a in lflat])
+    perm = [lflat.index(a) for a in rflat]
+    out = expanded.transpose(perm)
+    return out.reshape([int(np.prod([dim[a] for a in g])) for g in rg])
+
+
+def rearrange_predictions(df: DataFrame, spec: str,
+                          shape: tuple[int, ...],
+                          tensor_col: str = "tensor",
+                          **sizes) -> tuple[DataFrame, tuple[int, ...]]:
+    """Applies a rearrange spec to every row's flat tensor (known common
+    `shape`), Arrow-batched; returns (df, new_shape). The per-row batch
+    axis is implicit - the spec addresses the ROW shape, exactly like
+    the reference's FLAGS.rearrange addresses (..., y, x, c) with n
+    riding along (export_rasters.py:236-237)."""
+    probe = einops_rearrange(np.zeros(shape, dtype=np.float32), spec,
+                             **sizes)
+    new_shape = probe.shape
+    n_spec = "n " + spec.replace("->", "-> n ", 1)
+
+    def _apply(it):
+        for pdf in it:
+            if len(pdf):
+                arr = np.stack([np.asarray(v, dtype=np.float32)
+                                for v in pdf[tensor_col]])
+                arr = arr.reshape((len(pdf),) + tuple(shape))
+                got = einops_rearrange(arr, n_spec, **sizes)
+                pdf[tensor_col] = [r.ravel().tolist()
+                                   for r in got.reshape(len(pdf), -1)]
+            yield pdf
+
+    return df.mapInPandas(_apply, df.schema), new_shape
+
+
+# ---------------------------------------------------------------------------
 # columns_to_export DSL (export_rasters.py:153-189 `_extract_data`)
 # ---------------------------------------------------------------------------
 

@@ -80,13 +80,54 @@ def reduce_scenes(scenes: DataFrame, band_cols: list[str],
                   reducer: str = "mosaic",
                   key_cols: list[str] = ("cell",),
                   mask_col: str = "mask",
-                  max_scenes: int | None = None) -> DataFrame:
+                  max_scenes: int | None = None,
+                  quality_band: str | None = None) -> DataFrame:
     """GroupBy key_cols, reduce each band array per pixel across scenes.
 
     Returns one row per key with `B<i>` reduced arrays and `valid` count
     array. Scenes in a group must share patch shape.
+
+    `reducer="qualityMosaic"` (ee_algo.py:255-256 / EE qualityMosaic):
+    per-pixel argmax composite - every band takes its value from the
+    scene whose `quality_band` pixel is maximal among unmasked scenes.
+    Tie order pinned to (quality, ts, scene_id) ascending-max, i.e.
+    the LATER scene wins ties - consistent with EE's later-on-top
+    mosaic stacking and deterministic across shuffles.
     """
     key_cols = list(key_cols)
+
+    if reducer == "qualityMosaic":
+        if quality_band is None or quality_band not in band_cols:
+            raise ValueError(
+                "qualityMosaic needs quality_band in band_cols, got "
+                f"{quality_band!r} vs {band_cols}")
+        # Explode to pixel rows; per (key, px) one max_by aggregation
+        # with NULL ordering for masked pixels (max_by skips them).
+        # Partial (map-side) aggregation applies - no full-group buffer.
+        order_fields = [F.col(f"z.{quality_band}")]
+        if "ts" in scenes.columns:
+            order_fields.append(F.col("ts"))
+        if "scene_id" in scenes.columns:
+            order_fields.append(F.col("scene_id"))
+        exploded = scenes.select(
+            *key_cols,
+            *[c for c in ("ts", "scene_id") if c in scenes.columns],
+            F.posexplode(
+                F.arrays_zip(*[F.col(b) for b in band_cols],
+                             F.col(mask_col))).alias("px", "z"))
+        ord_col = F.when(F.col(f"z.{mask_col}") > 0,
+                         F.struct(*order_fields))
+        aggs = [F.max_by(F.col(f"z.{b}"), ord_col).cast("float").alias(b)
+                for b in band_cols]
+        aggs.append(F.count(F.when(F.col(f"z.{mask_col}") > 0, 1))
+                    .alias("valid"))
+        per_px = exploded.groupBy(*key_cols, "px").agg(*aggs)
+        s = F.sort_array(F.collect_list(F.struct(
+            F.col("px"), *[F.col(b) for b in band_cols], F.col("valid"))))
+        out = per_px.groupBy(*key_cols).agg(s.alias("_s"))
+        sel = [F.col("_s")[b].alias(b) for b in band_cols] + \
+              [F.col("_s")["valid"].alias("valid")]
+        return out.select(*key_cols, *sel)
 
     if reducer in ("mosaic", "first"):
         # Order-safe: collect (order-key, bands, mask) structs, sort_array
@@ -214,7 +255,8 @@ def sample_date_ranges(scenes: DataFrame, band_cols: list[str],
                        ranges: list[tuple[str, int, int]],
                        reducer: str = "mosaic",
                        key_cols: list[str] = ("cell",),
-                       limit: int | None = None) -> DataFrame:
+                       limit: int | None = None,
+                       quality_band: str | None = None) -> DataFrame:
     """ic_sample_date_ranges: per range, filter [start, end) and reduce;
     output one row per (key, range) with the midpoint `timestamps` column
     (ee_algo.py:394-428)."""
@@ -227,7 +269,8 @@ def sample_date_ranges(scenes: DataFrame, band_cols: list[str],
             w = Window.partitionBy(*key_cols).orderBy(F.col("ts").desc())
             sub = sub.withColumn("_rn", F.row_number().over(w)) \
                      .filter(F.col("_rn") <= limit).drop("_rn")
-        red = reduce_scenes(sub, band_cols, reducer, key_cols)
+        red = reduce_scenes(sub, band_cols, reducer, key_cols,
+                            quality_band=quality_band)
         outs.append(red.withColumn("timestamps", F.lit(mid)))
     out = outs[0]
     for o in outs[1:]:

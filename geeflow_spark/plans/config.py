@@ -146,6 +146,33 @@ SUPPORTED_ALGOS = ("ic_sample", "ic_sample_date_ranges",
                    "fc_to_image", "get_ccdc")
 
 
+# Named post-process kernels (the config-injected hook of
+# export_beam_tfds.py:240-249 / ee_export_utils.py:420-434: a callable
+# applied to the feature data after transforms, before serialization).
+# Spark analog: the "feature data" is the per-source DataFrame dict, so
+# a kernel is Callable[[dict[str, DataFrame]], dict[str, DataFrame]] -
+# typically wrapping mapInPandas over one or more sources. Configs name
+# kernels by string (picklable / config-file friendly) or pass a
+# callable directly, mirroring the reference's str-vs-callable dispatch.
+POST_PROCESS_KERNELS: dict[str, Callable] = {}
+
+
+def register_post_process(name: str, fn: Callable) -> None:
+    POST_PROCESS_KERNELS[name] = fn
+
+
+def resolve_post_process(pp) -> Callable:
+    if isinstance(pp, str):
+        if pp not in POST_PROCESS_KERNELS:
+            raise ValueError(
+                f"Unknown post_process_map kernel `{pp}`; registered: "
+                f"{sorted(POST_PROCESS_KERNELS)}")
+        return POST_PROCESS_KERNELS[pp]
+    if callable(pp):
+        return pp
+    raise ValueError(f"Unsupported post_process_map: {pp}")
+
+
 def get_algo(cfg: dict, source_name: str = "?") -> str:
     """cfg.algo or the module default (pipelines.py:265-275)."""
     algo = cfg.get("algo") or ALGO_MAP.get(cfg["module"])
@@ -218,6 +245,21 @@ def _rename_outputs(df: DataFrame, name: str, bands: list[str]) -> DataFrame:
                      *[F.col(b).alias(f"{name}/{b}") for b in bands])
 
 
+# FCs at or below this row count take the collect+broadcast path; above
+# it the distributed (SMJ / grid-cover) paths run. Overridable per
+# source via cfg["fc_broadcast_threshold"]; 0 forces the large path.
+FC_BROADCAST_THRESHOLD = 100_000
+
+
+def _fc_is_small(df: DataFrame, cfg: dict) -> bool:
+    limit = int(cfg.get("fc_broadcast_threshold", FC_BROADCAST_THRESHOLD))
+    if limit <= 0:
+        return False
+    # limit+1 head probe, NOT count(): a 10^9-row FC answers this from
+    # its first partitions.
+    return len(df.select(F.lit(1)).head(limit + 1)) <= limit
+
+
 def run_pipeline(spark: SparkSession, config: dict,
                  registry: Registry = DEFAULT_REGISTRY,
                  labels: DataFrame | None = None) -> dict[str, DataFrame]:
@@ -263,35 +305,63 @@ def run_pipeline(spark: SparkSession, config: dict,
                 ranges = fn()
             red = reducers.sample_date_ranges(
                 df, bands, ranges, reducer=reduce_fn, key_cols=key_cols,
-                limit=cfg.get("limit", kw.get("limit")))
+                limit=cfg.get("limit", kw.get("limit")),
+                quality_band=kw.get("quality_band"))
             out[name] = _rename_outputs(red, name, bands)
         elif algo == "ic_sample_reduced":
-            red = reducers.reduce_scenes(df, bands, reduce_fn, key_cols)
+            red = reducers.reduce_scenes(df, bands, reduce_fn, key_cols,
+                                         quality_band=kw.get("quality_band"))
             out[name] = _rename_outputs(red, name, bands)
         elif algo == "sample_roi":
             out[name] = _rename_outputs(df, name, bands)
         elif algo == "fc_get":
             # First matching feature's properties per labels point
-            # (pipelines.py:398-400 + ee_algo fc_get).
+            # (pipelines.py:398-400 + ee_algo fc_get). FC-size dispatch:
+            # small FCs collect + broadcast (reference-shaped country
+            # tables); large FCs MUST NOT reach the driver - they take
+            # the cell-keyed sort-merge join with distributed covers.
+            # The size probe is one driver-side count per source (same
+            # budget class as the CCDC emptiness probe).
             if labels is None:
                 raise ValueError(f"fc_get source `{name}` needs labels")
             props = list(cfg["select"])
-            joined = spatial_join.join_points_regions(
-                labels, df.toPandas(),
-                region_cols=("region_id", *props))
             idc = cfg.get("id_col", "index")
+            if _fc_is_small(df, cfg):
+                joined = spatial_join.join_points_regions(
+                    labels, df.toPandas(),
+                    region_cols=("region_id", *props))
+            else:
+                joined = spatial_join.join_points_regions_smj(
+                    labels, df.select("region_id", *props, "ring")) \
+                    .drop("ring")
             out[name] = spatial_join.first_match(
                 joined, key_cols=[idc], payload_cols=props)
         elif algo == "fc_to_image":
             # Rasterize feature property onto label ROIs
-            # (pipelines.py:401-403 + ee_algo fc_to_image).
+            # (pipelines.py:401-403 + ee_algo fc_to_image). Same FC-size
+            # dispatch: the large path joins grid-cell covers and
+            # rasterizes each ROI against only its candidate features.
             if labels is None:
                 raise ValueError(f"fc_to_image source `{name}` needs rois")
             prop = cfg["select"]
             prop = prop[0] if isinstance(prop, (list, tuple)) else prop
-            out[name] = rasterize.rasterize_fc(
-                labels, df.toPandas(), prop,
-                reducer=kw.get("reduce_fn", "first"))
+            if _fc_is_small(df, cfg):
+                out[name] = rasterize.rasterize_fc(
+                    labels, df.toPandas(), prop,
+                    reducer=kw.get("reduce_fn", "first"))
+            else:
+                grid = cfg.get("fc_grid")
+                if grid is None:
+                    # one tiny action: max ROI extent -> each ROI covers
+                    # <= 4 grid cells, features explode proportionally.
+                    grid = float(labels.agg(F.max(
+                        F.greatest(F.col("cell_size") * F.col("width"),
+                                   F.col("cell_size") * F.col("height"))
+                    ).alias("g")).collect()[0]["g"])
+                out[name] = rasterize.rasterize_fc_distributed(
+                    labels, df, prop, grid=grid,
+                    reducer=kw.get("reduce_fn", "first"),
+                    roi_id_col=cfg.get("id_col", "index"))
         elif algo == "get_ccdc":
             # year_selection consistency guard (pipelines.py:343-347),
             # then the annual-selection kernel per pixel row.
@@ -304,6 +374,8 @@ def run_pipeline(spark: SparkSession, config: dict,
             out[name] = _ccdc_annual(df, name, fmt, kw)
         else:  # pragma: no cover - guarded by get_algo
             raise ValueError(f"Unsupported algo: {algo}")
+    if pp := config.get("post_process_map"):
+        out = resolve_post_process(pp)(out)
     return out
 
 

@@ -154,3 +154,44 @@ def test_roi_validity_and_time_diff(spark):
     t = reducers.add_abs_time_difference(df, 1514764800000).toPandas()
     assert (t["abs_time_difference"] ==
             (t["ts"] - 1514764800000).abs()).all()
+
+
+def test_quality_mosaic_matches_numpy_argmax(spark):
+    # EE qualityMosaic(band): per-pixel argmax composite by the quality
+    # band; ties pinned to (quality, ts, scene_id) max - later wins.
+    df, pdf = _scenes_pdf(spark, n_cells=5, n_times=6, hw=4)
+    got = {r["cell"]: r
+           for r in reducers.reduce_scenes(
+               df, ["B1", "B2"], "qualityMosaic",
+               quality_band="B2").collect()}
+    for cell, grp in pdf.groupby("cell"):
+        grp = grp.sort_values(["ts", "scene_id"]).reset_index(drop=True)
+        q = _stack(grp, "B2")
+        b1 = _stack(grp, "B1")
+        mask = _stack(grp, "mask") > 0
+        exp_b1 = np.full(q.shape[1], np.nan)
+        exp_b2 = np.full(q.shape[1], np.nan)
+        nvalid = mask.sum(axis=0)
+        for p in range(q.shape[1]):
+            valid = np.nonzero(mask[:, p])[0]
+            if not len(valid):
+                continue
+            # later scene wins ties: take LAST argmax in (ts, id) order
+            qs = q[valid, p]
+            best = valid[np.nonzero(qs == qs.max())[0][-1]]
+            exp_b1[p] = b1[best, p]
+            exp_b2[p] = q[best, p]
+        g1 = np.array([np.nan if v is None else v for v in got[cell]["B1"]],
+                      dtype=np.float64)
+        g2 = np.array([np.nan if v is None else v for v in got[cell]["B2"]],
+                      dtype=np.float64)
+        np.testing.assert_allclose(g1, exp_b1, rtol=1e-6)
+        np.testing.assert_allclose(g2, exp_b2, rtol=1e-6)
+        np.testing.assert_array_equal(np.array(got[cell]["valid"]), nvalid)
+
+
+def test_quality_mosaic_requires_quality_band(spark):
+    df, _ = _scenes_pdf(spark, n_cells=2, n_times=2, hw=2)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="quality_band"):
+        reducers.reduce_scenes(df, ["B1"], "qualityMosaic")
