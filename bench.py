@@ -65,10 +65,20 @@ def _flagship(spark, n_docs: int, warm: bool = True):
                    .agg(F.sum("n")).collect()[0][0])
 
     if warm:
-        run()  # JIT/codegen/broadcast warmup
-    t0 = time.monotonic()
-    n = run()
-    wall = time.monotonic() - t0
+        # Steady-state protocol (same as --scaling): two warmups cover
+        # JIT/codegen depth + python-worker spin-up + page cache - a
+        # long-lived cluster pays these once, and single-run timings on
+        # this box vary ~2x on the warm-up slope.
+        run()
+        run()
+    import statistics
+    walls = []
+    n = 0
+    for _ in range(3 if warm else 1):
+        t0 = time.monotonic()
+        n = run()
+        walls.append(time.monotonic() - t0)
+    wall = statistics.median(walls)
     return n, n_docs / wall, wall
 
 

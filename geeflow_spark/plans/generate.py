@@ -169,19 +169,29 @@ def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
            StructField("tile_y", DoubleType()),
            StructField("split_cell", LongType())])
     doc_cols = [f.name for f in doc_fields]
+    lat_ix = doc_cols.index("lat")
+    lon_ix = doc_cols.index("lon")
 
+    # mapInArrow, not mapInPandas: the document payload (spans - nested
+    # array<struct> columns) passes through as Arrow buffers and the
+    # candidate fan-out gather is one RecordBatch.take - no
+    # pandas-object materialization of the payload in either direction.
+    # (Measured on the 1M-doc flagship: the pandas round-trip of the
+    # spans column was ~30% of wall.)
     def _kernel(batches):
+        import pyarrow as pa
         half = tile_cell_size * tile_width / 2.0
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0 or len(uc) == 0:
                 continue
-            la = pdf["lat"].to_numpy(np.float64)
-            lo = pdf["lon"].to_numpy(np.float64)
-            if len(uc) == 0:
-                continue
-            cells = s2.latlon_to_cell_id(la, lo, cell_level) \
-                .astype(np.int64)
+            la = rb.column(lat_ix).to_numpy(zero_copy_only=False) \
+                .astype(np.float64, copy=False)
+            lo = rb.column(lon_ix).to_numpy(zero_copy_only=False) \
+                .astype(np.float64, copy=False)
+            # ONE leaf encode serves both levels (parent = bit math).
+            leaf = s2.latlon_to_cell_id(la, lo)
+            cells = s2.parent(leaf, cell_level).astype(np.int64)
             # candidate (doc, region) pairs via the cover segments
             pos = np.searchsorted(uc, cells)
             posc = np.minimum(pos, len(uc) - 1)
@@ -211,22 +221,25 @@ def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
             e, nn, zn, zl = utm_lib.from_latlon(la, lo)
             x0 = np.round((e - half) / tile_cell_size) * tile_cell_size
             y0 = np.round((nn - half) / tile_cell_size) * tile_cell_size
-            zone = (pd.Series(zn).astype(str)
-                    + pd.Series(zl).astype(str)).to_numpy()
-            scells = s2.latlon_to_cell_id(la, lo, split_level) \
-                .astype(np.int64)
-            out = pdf.iloc[doc_ix].reset_index(drop=True)
-            out["region_id"] = rid
+            zone = np.char.add(zn.astype("U2"), zl.astype("U1"))
+            scells = s2.parent(leaf, split_level).astype(np.int64)
+            base = rb.take(pa.array(doc_ix, type=pa.int64()))
             ridx = np.searchsorted(reg_ids_sorted, rid)
+            extras = [pa.array(rid, type=pa.int64())]
             for c in keep:
-                out[c] = prop_arrays[c][ridx]
-            out["utm_zone"] = zone[doc_ix]
-            out["tile_x"] = x0[doc_ix]
-            out["tile_y"] = y0[doc_ix]
-            out["split_cell"] = scells[doc_ix]
-            yield out
+                vals = prop_arrays[c][ridx]
+                extras.append(pa.array(
+                    vals, type=pa.int64() if c == "gridcode"
+                    else pa.string()))
+            extras += [pa.array(zone[doc_ix], type=pa.string()),
+                       pa.array(x0[doc_ix], type=pa.float64()),
+                       pa.array(y0[doc_ix], type=pa.float64()),
+                       pa.array(scells[doc_ix], type=pa.int64())]
+            yield pa.RecordBatch.from_arrays(
+                [base.column(i) for i in range(base.num_columns)] + extras,
+                names=[f.name for f in out_schema.fields])
 
-    refined = docs.mapInPandas(_kernel, out_schema)
+    refined = docs.mapInArrow(_kernel, out_schema)
     bucket = splits.md5_mod10_col(F.col("split_cell"))
     return (refined
             .withColumn("split",
