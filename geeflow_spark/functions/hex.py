@@ -146,13 +146,20 @@ def ring_bound_m(cell_id, res: int, ring: int) -> np.ndarray:
     distance from any point in the cell to any point OUTSIDE the hex
     disk of radius `ring` around it.
 
-    Planar: outside the disk means hex distance >= ring+1, so planar
-    degree distance >= (ring - 1) * w where w = sqrt(3)*s (flat-to-flat
-    width; the -1 absorbs the query's own offset within its cell).
-    Sphere: a planar bound B splits into |dlat| >= B/sqrt(2) (worth
-    B/sqrt(2) radians directly) or |dlon| >= B/sqrt(2) at latitude at
-    most |lat_c| + B/sqrt(2) (worth cos of that, with a further 2/pi
-    chord factor to stay below the exact same-latitude chord formula).
+    Planar: outside the disk means hex distance >= ring+1 from the
+    center cell, and the minimum center-to-center degree distance at
+    hex distance d is the disk INRADIUS 1.5*d*s (NOT the flat-to-flat
+    multiple - the former r1 constant sqrt(3)*d*s overclaimed by up to
+    ~15%); subtract one circumradius per cell for the two points'
+    offsets within their cells: B = 1.5*(ring+1)*s - 2s.
+    Sphere: for the bound-minimizing point |dlat| <= B (else |dlat|
+    alone exceeds B radians-worth), so both latitudes are below
+    phi_max = |lat_c| + B + s. With c = cos(phi_max)*(2/pi) (the 2/pi
+    is the exact same-latitude chord slack), distance_rad >=
+    max(|dlat|, c*|dlon|) over sqrt(dlat^2+dlon^2) >= B, minimized at
+    the branch balance point: >= B * c / sqrt(1 + c^2). (The r1 form
+    dropped the component-split factor entirely and was only saved by
+    the 2/pi slack; this form is a proof, not incidental headroom.)
     The planar grid does NOT wrap, so the whole bound is additionally
     capped by the true distance to the antimeridian and to the nearest
     pole - beyond either "portal" a sphere path can be shorter than any
@@ -164,10 +171,10 @@ def ring_bound_m(cell_id, res: int, ring: int) -> np.ndarray:
     s = size_for_res(res)
     r_m = EARTH_RADIUS_M
     margin_m = 2.0 * s * DEG_TO_RAD * r_m  # query offset within its cell
-    b_deg = max(ring - 1, 0) * SQRT3 * s / np.sqrt(2.0)
-    phi_max = np.minimum(np.abs(lat) + b_deg, 89.999)
-    cos_term = np.minimum(1.0, np.cos(np.radians(phi_max)))
-    planar = b_deg * DEG_TO_RAD * r_m * cos_term * (2.0 / np.pi)
+    b_deg = max(1.5 * (ring + 1) * s - 2.0 * s, 0.0)
+    phi_max = np.minimum(np.abs(lat) + b_deg + s, 89.999)
+    c = np.minimum(1.0, np.cos(np.radians(phi_max))) * (2.0 / np.pi)
+    planar = b_deg * DEG_TO_RAD * r_m * c / np.sqrt(1.0 + c * c)
     # Distance to the antimeridian: arcsin(cos(lat) sin(dlon)) >=
     # cos(lat) sin(dlon) for dlon <= 90 deg.
     dlon_am = np.clip(180.0 - np.abs(lon), 0.0, 90.0)

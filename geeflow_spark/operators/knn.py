@@ -116,6 +116,15 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
     remaining = q
     r = 2  # bound is (r-1)*minWidth, so r=1 can never certify completeness
     while r <= max_ring:
+        # Ring-explosion cost gate: a round explodes (2r+1)^2 (s2 block)
+        # or 3r(r+1)+1 (hex disk) cells per unfinished query - once that
+        # fan-out exceeds the data-side row count, one brute-force pass
+        # over the stragglers is strictly cheaper than the join probes
+        # alone (sparse-data pathology: k unsatisfiable until huge r).
+        ring_cells = (2 * r + 1) ** 2 if index == "s2" \
+            else 3 * r * (r + 1) + 1
+        if ring_cells > n_data:
+            break
         cand = (remaining
                 .withColumn("_bound",
                             ring_bound_udf(level, r, index)(F.col("qcell")))

@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import (GroupState,
                                          GroupStateTimeout)
-from pyspark.sql.types import (LongType, StructField, StructType,
-                               TimestampType)
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType, TimestampType)
 
 
 def _digests(df: DataFrame, text_col: str) -> DataFrame:
@@ -53,6 +53,7 @@ def dedup_stream_builtin(docs_stream: DataFrame, text_col: str = "text",
 
 _SEEN_OUT = StructType([
     StructField("_k1", LongType()),
+    StructField("_k2", StringType()),
     StructField("n_seen", LongType()),
     StructField("first_ts", TimestampType()),
 ])
@@ -66,13 +67,17 @@ def seen_counts_stream(docs_stream: DataFrame, text_col: str = "text",
                        ts_col: str = "ts") -> DataFrame:
     """Custom stateful operator: per-digest running duplicate counts.
 
-    applyInPandasWithState keyed by the 64-bit digest: state carries
-    (n_seen, first_ts) across micro-batches; each batch emits the
-    updated totals for keys it touched. NoTimeout keeps state for the
-    stream's lifetime (callers with an event-time horizon should use
-    the built-in path instead)."""
+    applyInPandasWithState keyed by the DUAL digest (_k1 xxhash64,
+    _k2 sha2-256) - the same collision-safe contract as batch
+    exact_dedup and dedup_stream_builtin: at 10^12-doc scale 64-bit
+    birthday collisions WILL merge counts of distinct texts if keyed on
+    _k1 alone (the r2 advice item). State carries (n_seen, first_ts)
+    across micro-batches; each batch emits the updated totals for keys
+    it touched. NoTimeout keeps state for the stream's lifetime
+    (callers with an event-time horizon should use the built-in path
+    instead)."""
     keyed = _digests(docs_stream, text_col).select(
-        "_k1", F.col(ts_col).alias("_ts"))
+        "_k1", "_k2", F.col(ts_col).alias("_ts"))
 
     def update(key, pdfs, state: GroupState):
         n = 0
@@ -86,9 +91,9 @@ def seen_counts_stream(docs_stream: DataFrame, text_col: str = "text",
             n += n0
             first = f0 if f0 is not None and f0 <= first else first
         state.update((n, first))
-        yield pd.DataFrame({"_k1": [key[0]], "n_seen": [n],
-                            "first_ts": [first]})
+        yield pd.DataFrame({"_k1": [key[0]], "_k2": [key[1]],
+                            "n_seen": [n], "first_ts": [first]})
 
-    return keyed.groupBy("_k1").applyInPandasWithState(
+    return keyed.groupBy("_k1", "_k2").applyInPandasWithState(
         update, outputStructType=_SEEN_OUT, stateStructType=_SEEN_STATE,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
