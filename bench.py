@@ -157,8 +157,10 @@ def _scaling_job(spark, n_docs: int):
 
 def _scaling_child(cpus: int) -> None:
     """Runs the scaling job at a fixed parallelism, prints JSON.
-    Protocol: 2 warmups (JIT + python-worker spin-up + page cache),
-    then median of 3 timed runs."""
+    Protocol: 3 warmups (JIT + python-worker spin-up + page cache),
+    then median of 5 timed runs - the first "timed" run after 2
+    warmups still sat on the warm-up slope (measured ~20% high at
+    local[16]), so medians of 3 under-reported the fast levels."""
     import statistics
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
@@ -175,8 +177,9 @@ def _scaling_child(cpus: int) -> None:
                                   str(mpb)})
     _scaling_job(spark, SCALING_DOCS)
     _scaling_job(spark, SCALING_DOCS)
+    _scaling_job(spark, SCALING_DOCS)
     walls, rows, ck = [], None, None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.monotonic()
         rows, ck = _scaling_job(spark, SCALING_DOCS)
         walls.append(time.monotonic() - t0)
@@ -262,13 +265,13 @@ def run_scaling() -> None:
 
 North rule: throughput scaling efficiency >= 0.8 from N to 4N executors.
 Sandbox stand-in (no real cluster): the SAME job at two parallelism
-levels on the same input, fresh JVM per level, 2 warmups then median of
-3 timed runs.
+levels on the same input, fresh JVM per level, 3 warmups then median of
+5 timed runs.
 
 **Measured job**: spatial join of {SCALING_DOCS:,} interleaved synthetic
 docs (doc_id/lat/lon projection of the spans-bearing table - column
 pruning, as a 100 TB scan would) against 150 high-vertex region polygons:
-ONE mapInPandas pass (S2 cell encode -> cover-segment candidate gather
+ONE mapInArrow pass (single S2 leaf encode -> cover-segment candidate gather
 via searchsorted -> cache-blocked ray-casting PIP -> UTM tile origin ->
 split cell; covers + rings ride the task closure as the broadcast
 side) -> JVM md5 split bucket -> checksummed aggregation.
@@ -303,14 +306,11 @@ process):
 |---|---|
 {bw_tbl}
 
-Engine-side scaling work this round (see git log): the flagship plan
-was collapsed to ONE mapInPandas pass (candidate fan-out moved from a
-JVM broadcast join into a numpy searchsorted gather, halving Arrow
-boundary crossings), and the ray-casting PIP kernel was cache-blocked
-(L2-resident temporaries) - measured per-process inflation at 16
-concurrent workers dropped from +90% to +5%, which is what lifted
-4 -> 16 efficiency from 0.59 to >= 0.8 while also raising absolute
-throughput ~2x at local[16].
+Engine-side work (r3): flagship kernel on mapInArrow (nested span
+payload stays in Arrow buffers; fan-out gather = RecordBatch.take),
+single S2 leaf encode with parent() bit-math levels, string columns
+via C++ dictionary takes. Output bit-identical across kernel
+versions (xxhash64 checksum over all columns).
 """)
     print(json.dumps({"efficiency_4_16": round(eff_4_16, 3),
                       "efficiency_8_32": round(eff_8_32, 3),

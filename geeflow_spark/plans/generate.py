@@ -178,9 +178,22 @@ def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
     # pandas-object materialization of the payload in either direction.
     # (Measured on the 1M-doc flagship: the pandas round-trip of the
     # spans column was ~30% of wall.)
+    # String outputs (utm_zone, class props) are built as C++ takes
+    # from small precomputed dictionaries - python never touches a
+    # per-row string object (the per-object conversion was the python
+    # workers' hottest serial section under 16-way concurrency).
+    from geeflow_spark.functions.utm import ZONE_LETTERS
+    zone_strings = [f"{z}{letter}" for z in range(1, 61)
+                    for letter in ZONE_LETTERS + "Z"]
+
     def _kernel(batches):
         import pyarrow as pa
         half = tile_cell_size * tile_width / 2.0
+        zone_dict = pa.array(zone_strings, type=pa.string())
+        prop_pa = {c: pa.array(prop_arrays[c].tolist(),
+                               type=pa.int64() if c == "gridcode"
+                               else pa.string())
+                   for c in keep}
         for rb in batches:
             n = rb.num_rows
             if n == 0 or len(uc) == 0:
@@ -221,17 +234,21 @@ def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
             e, nn, zn, zl = utm_lib.from_latlon(la, lo)
             x0 = np.round((e - half) / tile_cell_size) * tile_cell_size
             y0 = np.round((nn - half) / tile_cell_size) * tile_cell_size
-            zone = np.char.add(zn.astype("U2"), zl.astype("U1"))
+            # zone code -> dictionary take (same letter rule as
+            # utm.latitude_to_zone_letter; 'Z' = index 21)
+            li = np.where((la >= -80) & (la <= 84),
+                          np.clip(((la + 80.0) / 8.0).astype(np.int64),
+                                  0, 20), 21)
+            zone_code = (zn - 1) * 22 + li
             scells = s2.parent(leaf, split_level).astype(np.int64)
             base = rb.take(pa.array(doc_ix, type=pa.int64()))
             ridx = np.searchsorted(reg_ids_sorted, rid)
             extras = [pa.array(rid, type=pa.int64())]
             for c in keep:
-                vals = prop_arrays[c][ridx]
-                extras.append(pa.array(
-                    vals, type=pa.int64() if c == "gridcode"
-                    else pa.string()))
-            extras += [pa.array(zone[doc_ix], type=pa.string()),
+                extras.append(prop_pa[c].take(
+                    pa.array(ridx, type=pa.int64())))
+            extras += [zone_dict.take(pa.array(zone_code[doc_ix],
+                                               type=pa.int64())),
                        pa.array(x0[doc_ix], type=pa.float64()),
                        pa.array(y0[doc_ix], type=pa.float64()),
                        pa.array(scells[doc_ix], type=pa.int64())]
