@@ -283,8 +283,11 @@ def _q_dedup_minhash(spark, sf_dir):
     # verification predicate (hashed-set Jaccard == string-set Jaccard
     # up to 64-bit shingle collisions).
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = dedup.minhash_duplicate_pairs(d, num_perm=64, bands=16,
-                                          verify_jaccard=0.6)
+    # spread: the testdata table is ONE parquet file; without it the
+    # whole signature stage runs on a single core (no-op at scale).
+    pairs = dedup.minhash_duplicate_pairs(
+        d, num_perm=64, bands=16, verify_jaccard=0.6,
+        spread=spark.sparkContext.defaultParallelism)
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -297,8 +300,9 @@ def _q_dedup_simhash(spark, sf_dir):
     # The xxh64 production family keeps its bit-exact pandas oracle in
     # tools/check_oracles.py.
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = dedup.simhash_candidate_pairs(d, shingle_k=2, bands=4,
-                                        max_hamming=16, hash_family="md5")
+    out = dedup.simhash_candidate_pairs(
+        d, shingle_k=2, bands=4, max_hamming=16, hash_family="md5",
+        spread=spark.sparkContext.defaultParallelism)
     return out.select("a", "b", F.col("hamming").cast("long")
                       .alias("hamming"))
 
@@ -308,7 +312,9 @@ def _q_dedup_ngram(spark, sf_dir):
     # the LSH paths are judged against); SQL oracle via DuckDB list
     # comprehensions over the same shingle definition.
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = dedup.ngram_jaccard_pairs(d, threshold=0.5, shingle_k=3)
+    out = dedup.ngram_jaccard_pairs(
+        d, threshold=0.5, shingle_k=3,
+        spread=spark.sparkContext.defaultParallelism)
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -80,25 +80,34 @@ def _hash64_strs(strs) -> np.ndarray:
 
 
 def shingle_hashes_col(text: Column, k: int = 3) -> Column:
-    """text -> array<long> of xxhash64 per distinct k-token shingle.
+    """text -> array<long> of hashes of the DISTINCT k-token shingles.
 
-    All JVM-side (split/slice/concat_ws/xxhash64 stay inside whole-stage
-    codegen). Exact string-shingle semantics - used for candidate-pair
-    VERIFICATION (small row counts). The bulk signature path uses
-    `token_hashes_col` + the numpy k-gram combine instead: per-shingle
-    string re-concatenation is O(k) allocations per token and dominates
-    on long documents. Fewer than k tokens -> one shingle of the whole
-    token list (mirrors `_token_shingles`); empty text -> empty array.
+    Tokens hash JVM-side (xxhash64 inside codegen); the k-gram combine
+    is the vectorized polynomial fold (`_shingle_hashes_flat`) over the
+    whole Arrow batch + per-row distinct - the same hash family the
+    minhash signatures use, and ~5x faster than the former per-shingle
+    string re-concat JVM expression (O(k) string allocations per token
+    dominated; this was the repo's slowest kernel). Set semantics
+    unchanged: cardinalities equal string-shingle sets modulo 64-bit
+    collisions, so every Jaccard consumer (verification, ngram pairs,
+    the exact-SQL oracles) sees identical values. Fewer than k tokens
+    -> one shingle folding the whole token list (mirrors
+    `_token_shingles`); empty text -> empty array.
     """
-    toks = F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
-    n = F.size(toks)
-    gram = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))))
-    whole = F.array(F.xxhash64(F.concat_ws(" ", toks)))
-    empty = F.array().cast("array<bigint>")
-    return F.array_distinct(
-        F.when(n >= k, gram).when(n > 0, whole).otherwise(empty))
+    @pandas_udf(ArrayType(LongType()))
+    def _sh(tok_hashes: pd.Series) -> pd.Series:
+        flat, counts, _ = _segmented(tok_hashes)
+        sh, sh_counts = _shingle_hashes_flat(flat, counts, k)
+        out = []
+        pos = 0
+        for c in sh_counts:
+            c = int(c)
+            out.append(np.unique(sh[pos:pos + c]).astype(np.int64)
+                       .tolist())
+            pos += c
+        return pd.Series(out)
+
+    return _sh(token_hashes_col(text))
 
 
 def token_hashes_col(text: Column) -> Column:
@@ -265,11 +274,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return keyed.join(w_min, [*kcols, id_col], "inner").drop(*kcols)
 
 
+def _spread(df: DataFrame, n: int | None) -> DataFrame:
+    """Widens an under-partitioned input to `n` partitions before a
+    CPU-heavy signature stage. Only ever INCREASES parallelism: inputs
+    that already have >= n partitions (any real at-scale table) pass
+    through untouched - the knob exists because a single-file test
+    input otherwise pins the whole signature computation to one core.
+    """
+    if n and df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def minhash_band_buckets(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", num_perm: int = 64,
-                         bands: int = 16, shingle_k: int = 3) -> DataFrame:
+                         bands: int = 16, shingle_k: int = 3,
+                         spread: int | None = None) -> DataFrame:
     """(id, band, band_hash) rows: LSH bucket keys per doc."""
     assert num_perm % bands == 0
+    df = _spread(df, spread)
     rows_per_band = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_k)
     with_sig = df.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
@@ -293,7 +316,8 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", num_perm: int = 64,
                             bands: int = 16, shingle_k: int = 3,
                             verify_jaccard: float | None = 0.7,
-                            max_bucket: int = 4096) -> DataFrame:
+                            max_bucket: int = 4096,
+                            spread: int | None = None) -> DataFrame:
     """Candidate (a, b) near-dup pairs (a < b), optionally verified by
     exact shingle Jaccard >= threshold.
 
@@ -310,7 +334,7 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
     None disables the cap.
     """
     buckets = minhash_band_buckets(df, text_col, id_col, num_perm, bands,
-                                   shingle_k)
+                                   shingle_k, spread=spread)
     # ONE signature pass: groupBy bucket + JVM-side ordered-pair
     # emission, instead of a self-join (which would shuffle and
     # recompute the signature subtree for BOTH aliases). Per-bucket
@@ -411,7 +435,8 @@ def simhash_udf(shingle_k: int = 2,
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float,
                         text_col: str = "text", id_col: str = "doc_id",
-                        shingle_k: int = 3) -> DataFrame:
+                        shingle_k: int = 3,
+                        spread: int | None = None) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard >= threshold.
 
     True O(n^2) crossJoin + JVM-side set Jaccard: the verification /
@@ -419,9 +444,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
     recall tests compare against). At scale use
     `minhash_duplicate_pairs`, whose recall is banded-LSH, not exact.
     """
-    sh = df.select(F.col(id_col),
-                   shingle_hashes_col(F.col(text_col), shingle_k)
-                   .alias("_sh"))
+    sh = _spread(df, spread).select(
+        F.col(id_col),
+        shingle_hashes_col(F.col(text_col), shingle_k).alias("_sh"))
     a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
     return (a.crossJoin(b).filter(F.col("a") < F.col("b"))
@@ -436,7 +461,8 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             bands: int = 4,
                             max_hamming: int = 12,
                             hash_family: str = "xxh64",
-                            max_bucket: int = 4096) -> DataFrame:
+                            max_bucket: int = 4096,
+                            spread: int | None = None) -> DataFrame:
     """SimHash near-dup pairs (a < b, hamming <= max_hamming).
 
     Banded LSH recall: the 64-bit simhash splits into `bands` 16-bit
@@ -454,7 +480,8 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     disables the cap.
     """
     sim = simhash_udf(shingle_k, hash_family=hash_family)
-    h = df.select(F.col(id_col), sim(F.col(text_col)).alias("_h"))
+    h = _spread(df, spread).select(F.col(id_col),
+                                   sim(F.col(text_col)).alias("_h"))
     band_ix = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     width = 64 // bands
     bh = h.select(id_col, "_h", band_ix).select(
