@@ -114,8 +114,12 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
 
     results = None
     remaining = q
+    # Driver-side remaining counter replaces a per-round isEmpty probe
+    # (which re-evaluated the whole candidate pipeline as its own job).
+    n_remaining = q.count()
+    round_caches = []
     r = 2  # bound is (r-1)*minWidth, so r=1 can never certify completeness
-    while r <= max_ring:
+    while r <= max_ring and n_remaining > 0:
         # Ring-explosion cost gate: a round explodes (2r+1)^2 (s2 block)
         # or 3r(r+1)+1 (hex disk) cells per unfinished query - once that
         # fan-out exceeds the data-side row count, one brute-force pass
@@ -144,19 +148,25 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
                  .agg(F.count("*").alias("_n"),
                       F.max("dist_m").alias("_dk"),
                       F.first("_bound").alias("_b")))
+        # The done-id feed is consumed by the result join AND the
+        # anti-join; cache + materialize it ONCE per round (it is tiny:
+        # id-only rows) instead of re-running the candidate pipeline
+        # per consumer. Caches unpersist after the final materialize.
         done_ids = stats.filter((F.col("_n") >= k) &
                                 (F.col("_dk") <= F.col("_b"))) \
-                        .select(query_id)
-        done = topk.join(F.broadcast(done_ids), query_id, "inner") \
-                   .select(query_id, data_id, "dist_m", "rank")
-        results = done if results is None else results.unionByName(done)
-        remaining = remaining.join(done_ids, query_id, "left_anti")
-        if remaining.isEmpty():
-            remaining = None
-            break
+                        .select(query_id).cache()
+        round_caches.append(done_ids)
+        n_done = done_ids.count()
+        if n_done:
+            done = topk.join(F.broadcast(done_ids), query_id, "inner") \
+                       .select(query_id, data_id, "dist_m", "rank")
+            results = done if results is None \
+                else results.unionByName(done)
+            remaining = remaining.join(done_ids, query_id, "left_anti")
+            n_remaining -= n_done
         r *= 2
 
-    if remaining is not None and not remaining.isEmpty():
+    if n_remaining > 0:
         # Brute-force fallback: exact, used only for stragglers.
         cand = (remaining.crossJoin(d.select(data_id, "dlat", "dlon"))
                 .withColumn("dist_m",
@@ -171,6 +181,8 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
     # Materialize before releasing the cached inputs the plan references.
     out = results.cache()
     out.count()
+    for c in round_caches:
+        c.unpersist()
     q.unpersist()
     d.unpersist()
     return out
