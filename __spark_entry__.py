@@ -348,6 +348,24 @@ def _q_sim_cosine_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def _q_sim_ivf_topk(spark, sf_dir):
+    # IVF ANN plumbing end-to-end (coarse quantizer -> inverted-list
+    # assignment -> probe join -> exact re-rank). Full probe
+    # (nprobe = n_centroids) makes the output EXACT top-k, so the
+    # DuckDB cosine oracle checks the whole path row-for-row; the
+    # pruning recall is pytest-covered (test_ivf_partial_probe_recall).
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ed = e.select("vec_id", F.transform(F.col("embedding"),
+                                        lambda x: x.cast("double"))
+                  .alias("embedding"))
+    q = ed.filter(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(q, ed, k=3, n_centroids=8, nprobe=8,
+                              train_rows=512)
+    return out.select("query_id", "vec_id",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def _q_sim_norms(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.sqrt(F.aggregate(
@@ -484,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": _q_dedup_ngram,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_norms": _q_sim_norms,
         "spans_explode": _q_spans_explode,
         "src_s2_cloudfree_mosaic": _q_src_s2_cloudfree_mosaic,
@@ -873,6 +892,21 @@ def oracle_sql() -> dict[str, str]:
                      AS rnk
             FROM pairs)
           WHERE rnk <= 5
+        """,
+        "sim_ivf_topk": """
+          WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                     WHERE vec_id < 8),
+          pairs AS (
+            SELECT q.query_id, d.vec_id,
+                   list_cosine_similarity(q.embedding, d.embedding) AS score
+            FROM q, embeddings d)
+          SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id ASC)
+                     AS rnk
+            FROM pairs)
+          WHERE rnk <= 3
         """,
         "sim_norms": """
           SELECT vec_id,

@@ -8,6 +8,12 @@ Large-pipeline first-class operators (not in the reference):
     candidates only within matching bucket keys (multi-probe via bands),
     exact re-rank inside buckets. At 10^12 rows the bucket join replaces
     the O(Q*N) cross join with O(Q*bucket_size).
+  - ivf_topk: inverted-file ANN (the build spec's "IVF variant"):
+    spherical k-means coarse quantizer trained on a bounded
+    deterministic sample, distributed nearest-centroid assignment
+    (the inverted lists), queries probe their nprobe nearest
+    centroids, exact cosine re-rank on the probed lists only.
+    nprobe == n_centroids degenerates to exact search (tested).
 """
 
 from __future__ import annotations
@@ -73,6 +79,109 @@ def hyperplane_buckets_udf(dim: int, n_planes: int = 16, bands: int = 4,
         return pd.Series(list(keys))
 
     return _buckets
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n == 0, 1.0, n)
+
+
+def spherical_kmeans(mat: np.ndarray, k: int, iters: int = 10,
+                     seed: int = 3) -> np.ndarray:
+    """Deterministic spherical k-means (cosine) on a sample matrix.
+
+    k-means++-style farthest-point seeding from a seeded RNG, Lloyd
+    iterations with unit-normalized centroids; empty clusters reseed to
+    the currently worst-assigned vector. Returns (k, dim) unit rows.
+    """
+    x = _normalize_rows(np.asarray(mat, dtype=np.float64))
+    n = len(x)
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    centroids = np.empty((k, x.shape[1]))
+    centroids[0] = x[rng.integers(n)]
+    sims = x @ centroids[0]
+    for i in range(1, k):
+        centroids[i] = x[int(np.argmin(sims))]
+        sims = np.maximum(sims, x @ centroids[i])
+    for _ in range(iters):
+        scores = x @ centroids.T  # (n, k)
+        assign = scores.argmax(axis=1)
+        best = scores.max(axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members) == 0:
+                centroids[c] = x[int(np.argmin(best))]
+                best[int(np.argmin(best))] = 1.0
+                continue
+            m = members.sum(axis=0)
+            norm = np.linalg.norm(m)
+            if norm > 0:
+                centroids[c] = m / norm
+    return centroids
+
+
+def ivf_centroid_udfs(centroids: np.ndarray, nprobe: int):
+    """(assign_udf: vec -> nearest centroid id,
+    probe_udf: vec -> array of the nprobe nearest centroid ids)."""
+    c_t = centroids.T.copy()
+    nprobe = min(nprobe, len(centroids))
+
+    @pandas_udf(LongType())
+    def _assign(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        return pd.Series((_normalize_rows(mat) @ c_t).argmax(axis=1)
+                         .astype(np.int64))
+
+    @pandas_udf(ArrayType(LongType()))
+    def _probe(vec: pd.Series) -> pd.Series:
+        mat = np.stack(vec.to_numpy()).astype(np.float64)
+        scores = _normalize_rows(mat) @ c_t
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return _assign, _probe
+
+
+def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
+             n_centroids: int = 64, nprobe: int = 8,
+             train_rows: int = 16384, iters: int = 10, seed: int = 3,
+             query_id: str = "query_id", data_id: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate cosine top-k: (query_id, vec_id, score, rank).
+
+    Scale topology: the coarse quantizer trains on a BOUNDED
+    deterministic sample (orderBy(id).limit(train_rows) - standard IVF
+    practice; the quantizer is tiny and rides every task closure), the
+    nearest-centroid assignment runs distributed (at 10^12 rows the
+    assigned table is written partitioned/bucketed by `_c` - the
+    inverted lists - and reused across query batches), and candidates
+    follow the same id-only-shuffle pattern as lsh_topk: probe join on
+    the centroid key, dedupe bare id pairs, rejoin vectors once,
+    broadcast the query side. Exact re-rank within probed lists; with
+    nprobe >= n_centroids output equals brute_force_topk row-for-row
+    (same tiebreaks).
+    """
+    train = (data.orderBy(data_id).limit(train_rows)
+             .select(vec_col).toPandas())
+    centroids = spherical_kmeans(np.stack(train[vec_col].to_numpy()),
+                                 n_centroids, iters, seed)
+    assign_udf, probe_udf = ivf_centroid_udfs(centroids, nprobe)
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"))
+    db = d.select(data_id, assign_udf(F.col("_dv")).alias("_c"))
+    qb = q.select(query_id,
+                  F.explode(probe_udf(F.col("_qv"))).alias("_c"))
+    cand_ids = qb.join(db, "_c").select(query_id, data_id).distinct()
+    cand = (cand_ids
+            .join(F.broadcast(q), query_id)
+            .join(d, data_id)
+            .withColumn("score", cosine_col(F.col("_qv"), F.col("_dv"))))
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
+                                             F.col(data_id).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, data_id, "score", "rank"))
 
 
 def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,

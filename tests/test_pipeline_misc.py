@@ -226,3 +226,45 @@ def test_xxh64_twin_matches_spark(spark):
     df = spark.createDataFrame(pd.DataFrame({"s": strs}))
     got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
     assert got == [xxh64_str_signed(s) for s in strs]
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 6) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.ivf_topk(q, emb, k=4, n_centroids=8, nprobe=8,
+                              train_rows=512).toPandas()
+    exp = similarity.brute_force_topk(q, emb, 4).toPandas()
+    key = ["query_id", "rank"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert list(g["vec_id"]) == list(e["vec_id"])  # row-for-row
+
+
+def test_ivf_partial_probe_recall(spark):
+    # clustered data: IVF with nprobe=2/8 must keep high recall@k
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 4
+    vecs = np.concatenate([c + rng.standard_normal((40, 16))
+                           for c in centers])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": [v.astype(np.float32).tolist()
+                                      for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    q = emb.filter(F.col("vec_id") % 40 == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.ivf_topk(q, emb, k=10, n_centroids=8, nprobe=2,
+                              train_rows=320).toPandas()
+    exp = similarity.brute_force_topk(q, emb, 10).toPandas()
+    exp_pairs = set(map(tuple, exp[["query_id", "vec_id"]]
+                        .itertuples(index=False)))
+    got_pairs = set(map(tuple, got[["query_id", "vec_id"]]
+                        .itertuples(index=False)))
+    recall = len(got_pairs & exp_pairs) / len(exp_pairs)
+    assert recall >= 0.9, recall
+    # determinism: second run identical
+    got2 = similarity.ivf_topk(q, emb, k=10, n_centroids=8, nprobe=2,
+                               train_rows=320).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        got2.sort_values(["query_id", "rank"]).reset_index(drop=True))
