@@ -1,0 +1,85 @@
+"""Spatial table layout: cell-clustered writes for pruned scans.
+
+At 100 TB the dominant cost of every spatial query is the scan; the
+layout fixes that before any operator runs:
+
+  - `write_cell_clustered`: partitions the table by a COARSE cell
+    (directory-level -> Catalyst partition pruning skips whole
+    directories for any cell-range predicate) and range-sorts rows by
+    the FINE cell within files (parquet row-group min/max stats prune
+    within files; neighboring documents land in the same pages -
+    the Z-order-style locality a cell id's bit layout gives for free,
+    since S2 ids are Hilbert-ordered and hex ids are axial-packed).
+  - `read_cells`: reads back with a cell-prefix predicate pushed to
+    both pruning layers.
+
+This is the parquet expression of the Iceberg partition-transform
+story (sources/iceberg.py): with the runtime present the same coarse
+cell becomes the partition transform column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geeflow_spark.operators.spatial_join import INDEXES, with_cell
+
+
+def coarse_cell_col(fine_cell: F.Column, level: int, coarse_level: int,
+                    index: str = "s2") -> F.Column:
+    """Parent cell id of a fine cell id, as a pure JVM expression.
+
+    s2: (id & -lsb) | lsb with lsb = 1 << 2*(30-coarse); hex: repack
+    res bits is not closed-form JVM (aperture-7 parents re-encode), so
+    hex uses a numpy UDF via INDEXES[index].parent at write time."""
+    if index == "s2":
+        lsb = 1 << (2 * (30 - coarse_level))
+        return fine_cell.bitwiseAND(F.lit(-lsb)).bitwiseOR(F.lit(lsb))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+    mod = INDEXES[index]
+
+    def _parent(c):
+        return pd.Series(np.asarray(
+            mod.parent(c.to_numpy(np.int64), coarse_level))
+            .astype(np.int64))
+
+    # real annotation objects: `from __future__ import annotations`
+    # stringifies inline hints and pyspark's inference rejects them.
+    _parent.__annotations__ = {"c": pd.Series, "return": pd.Series}
+    return pandas_udf(LongType())(_parent)(fine_cell)
+
+
+def write_cell_clustered(df: DataFrame, path: str, *, level: int = 12,
+                         coarse_level: int = 4,
+                         lat_col: str = "lat", lon_col: str = "lon",
+                         index: str = "s2",
+                         mode: str = "overwrite") -> None:
+    """Writes `df` partitioned by coarse cell, sorted by fine cell.
+
+    repartition by the coarse cell (one shuffle - the one-time layout
+    cost) + sortWithinPartitions(fine cell) so every output file holds
+    one coarse cell's rows in fine-cell order."""
+    out = with_cell(df, level, lat_col, lon_col, out_col="cell",
+                    index=index)
+    out = out.withColumn(
+        "cell_p", coarse_cell_col(F.col("cell"), level, coarse_level,
+                                  index))
+    # sort by (cell_p, cell): the partitioned writer REQUIRES ordering
+    # by the partition column and would re-sort by cell_p alone (and
+    # destroy the fine order) if we only sorted by cell.
+    (out.repartition(F.col("cell_p"))
+        .sortWithinPartitions("cell_p", "cell")
+        .write.mode(mode).partitionBy("cell_p").parquet(path))
+
+
+def read_cells(spark: SparkSession, path: str, cells_p: list[int]
+               ) -> DataFrame:
+    """Scan restricted to the given coarse cells: the predicate is a
+    partition filter (directory pruning), and any further fine-cell
+    predicate the caller adds prunes row groups via the sorted layout.
+    """
+    return spark.read.parquet(path).filter(F.col("cell_p").isin(cells_p))
