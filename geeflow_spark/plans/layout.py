@@ -83,3 +83,35 @@ def read_cells(spark: SparkSession, path: str, cells_p: list[int]
     predicate the caller adds prunes row groups via the sorted layout.
     """
     return spark.read.parquet(path).filter(F.col("cell_p").isin(cells_p))
+
+
+def join_points_regions_pruned(spark: SparkSession, path: str, regions,
+                               *, level: int = 12, coarse_level: int = 4,
+                               index: str = "s2", **join_kw) -> DataFrame:
+    """Spatial join that only SCANS the partitions the regions touch.
+
+    The region bboxes cover to COARSE cells (driver-side numpy - the
+    region side is the small side by contract); those cells become a
+    partition filter on the clustered table, so a city-sized ROI query
+    against a planet-sized table reads a handful of directories instead
+    of 100 TB. Downstream is the ordinary cell-keyed join + exact PIP
+    refine on the (already fine-cell-encoded) surviving rows.
+
+    Requires `path` written by write_cell_clustered with the same
+    (level, coarse_level, index).
+    """
+    import numpy as np
+
+    from geeflow_spark.functions import geometry
+    from geeflow_spark.operators import spatial_join as sj
+
+    mod = INDEXES[index]
+    coarse = set()
+    for _, row in regions.iterrows():
+        ring = np.asarray(row["ring"], dtype=np.float64)
+        x0, y0, x1, y1 = geometry.polygon_bbox(ring)
+        ids = mod.cover_bbox(y0, y1, x0, x1, coarse_level)
+        coarse.update(int(c) for c in np.asarray(ids).astype(np.int64))
+    pts = read_cells(spark, path, sorted(coarse)).drop("cell_p", "cell")
+    return sj.join_points_regions(pts, regions, level=level, index=index,
+                                  **join_kw)

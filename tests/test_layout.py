@@ -49,3 +49,27 @@ def test_files_are_fine_cell_sorted(spark, tmp_path):
     for f in glob.glob(f"{p}/cell_p=*/*.parquet"):
         cells = pd.read_parquet(f)["cell"].to_numpy()
         assert (np.diff(cells) >= 0).all(), f
+
+
+def test_pruned_join_matches_full_join(spark, tmp_path):
+    from geeflow_spark.operators import spatial_join
+    from geeflow_spark.sources import synth
+    p = str(tmp_path / "clustered")
+    docs = derived.with_geo(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    layout.write_cell_clustered(docs, p, level=8, coarse_level=4)
+    regions = synth.regions_pdf(6, radius_scale=2.0)
+
+    full = spatial_join.join_points_regions(
+        docs.select("doc_id", "lat", "lon"), regions, level=8) \
+        .select("doc_id", "region_id").toPandas()
+    pruned_df = layout.join_points_regions_pruned(
+        spark, p, regions, level=8, coarse_level=4)
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pruned = pruned_df.select("doc_id", "region_id").toPandas()
+    key = ["doc_id", "region_id"]
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        full.sort_values(key).reset_index(drop=True),
+        pruned.sort_values(key).reset_index(drop=True))
