@@ -131,3 +131,22 @@ def test_max_bucket_caps_hot_buckets(spark):
         max_bucket=8).toPandas()
     assert set(map(tuple, out3[["a", "b"]].itertuples(index=False))) \
         == {(1, 2)}
+
+
+def test_spread_is_result_invariant(spark):
+    # `spread` repartitions before the signature stage; results must be
+    # identical regardless (guards against any shuffle-order dependence
+    # sneaking into the vectorized folds / bucket emission).
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = dedup.minhash_duplicate_pairs(
+        d, num_perm=64, bands=16, verify_jaccard=0.6, spread=None) \
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    wide = dedup.minhash_duplicate_pairs(
+        d, num_perm=64, bands=16, verify_jaccard=0.6, spread=16) \
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, wide)
+    s1 = dedup.simhash_candidate_pairs(d, hash_family="md5", spread=None) \
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    s2_ = dedup.simhash_candidate_pairs(d, hash_family="md5", spread=16) \
+        .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(s1, s2_)
