@@ -104,3 +104,31 @@ def test_post_process_map_unknown_name(spark):
     c.post_process_map = 42
     with pytest.raises(ValueError, match="Unsupported post_process_map"):
         cfg_mod.run_pipeline(spark, c)
+
+
+def test_rearrange_property_random_specs():
+    # property sweep: random dims + random permutation with random
+    # adjacent merges on either side must equal reshape+transpose.
+    rng = np.random.default_rng(17)
+    for trial in range(200):
+        nd = int(rng.integers(2, 5))
+        dims = [int(rng.integers(1, 5)) for _ in range(nd)]
+        names = [f"a{i}" for i in range(nd)]
+        arr = np.arange(int(np.prod(dims))).reshape(dims)
+        perm = list(rng.permutation(nd))
+        rhs_names = [names[p] for p in perm]
+        # randomly merge one adjacent pair on the rhs
+        rhs = list(rhs_names)
+        if nd >= 2 and rng.random() < 0.5:
+            i = int(rng.integers(0, nd - 1))
+            rhs = rhs[:i] + [f"({rhs[i]} {rhs[i+1]})"] + rhs[i + 2:]
+        from geeflow_spark.operators import raster_export as rx
+        spec = " ".join(names) + " -> " + " ".join(rhs)
+        got = rx.einops_rearrange(arr, spec)
+        exp = arr.transpose(perm)
+        if len(rhs) != nd:  # one merge applied
+            shp = list(exp.shape)
+            i = next(j for j, t in enumerate(rhs) if t.startswith("("))
+            exp = exp.reshape(shp[:i] + [shp[i] * shp[i + 1]]
+                              + shp[i + 2:])
+        np.testing.assert_array_equal(got, exp, err_msg=spec)
