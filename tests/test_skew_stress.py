@@ -1,0 +1,58 @@
+"""Skew stress: the north rule calls out coastal/urban cell skew.
+
+The flagship's one-pass topology has NO shuffle on the document side,
+so a pathological distribution (every document inside ONE hot S2 cell
+and ONE region) cannot create a hot reducer in the join itself - the
+per-task work stays proportional to the task's input rows. This pins
+that property: 200k single-cell docs complete with exact counts and
+bounded wall, and the salted aggregation splits the hot cell's count
+across reducers without changing totals.
+"""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geeflow_spark.operators import spatial_join
+from geeflow_spark.plans import generate
+
+
+def test_flagship_single_hot_cell(spark):
+    n = 200_000
+    # all docs within a ~0.2-degree box -> one level-8 cell neighborhood
+    docs = (spark.range(0, n, 1, 16)
+            .select(F.col("id").alias("doc_id"),
+                    (F.lit(47.30) + (F.col("id") % 997) / 997.0 * 0.2)
+                    .alias("lat"),
+                    (F.lit(8.40) + (F.col("id") % 991) / 991.0 * 0.2)
+                    .alias("lon")))
+    regions = pd.DataFrame([{
+        "region_id": 1,
+        "ring": [8.0, 47.0, 9.0, 47.0, 9.0, 48.0, 8.0, 48.0],
+    }])
+    t0 = time.monotonic()
+    ex = generate.generate_examples(docs, regions, cell_level=8)
+    total = ex.count()
+    wall = time.monotonic() - t0
+    assert total == n  # every doc inside the one region, exactly once
+    assert wall < 120, f"hot-cell flagship took {wall:.0f}s"
+
+
+def test_salted_counts_on_hot_cell(spark):
+    # one dominant cell + a tail: salted two-stage agg returns exact
+    # totals (stage-1 spreads the hot key over n_salt reducers).
+    n = 50_000
+    docs = (spark.range(0, n, 1, 8)
+            .select(F.col("id").alias("doc_id"),
+                    F.when(F.col("id") % 10 < 9, F.lit(47.35))
+                    .otherwise(F.lit(-33.9)).alias("lat"),
+                    F.when(F.col("id") % 10 < 9, F.lit(8.45))
+                    .otherwise(F.lit(18.4)).alias("lon")))
+    enc = spatial_join.with_cell(docs, level=8)
+    got = spatial_join.salted_cell_counts(enc).toPandas()
+    assert int(got["count"].sum()) == n
+    assert got["count"].max() == int(n * 0.9)
+    assert len(got) == 2
