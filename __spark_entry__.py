@@ -297,8 +297,10 @@ def _q_dedup_simhash(spark, sf_dir):
     # ENTIRE pipeline exactly (token md5-64 -> poly shingle fold mod
     # 2^64 -> distinct -> per-bit majority -> 16-bit banding -> popcount
     # <= 16) - same recipe that made the hex index driver-verifiable.
-    # The xxh64 production family keeps its bit-exact pandas oracle in
-    # tools/check_oracles.py.
+    # The xxh64 production family is pytest-covered: the bit-exact twin
+    # is tests/test_pipeline_misc.py::test_xxh64_twin_matches_spark and
+    # the xxh64 simhash path runs in tests/test_pipeline_misc.py's
+    # simhash tests.
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = dedup.simhash_candidate_pairs(
         d, shingle_k=2, bands=4, max_hamming=16, hash_family="md5",

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
+import threading
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -38,8 +40,21 @@ _MERSENNE = (1 << 61) - 1
 
 # Candidate-pair caches still live from prior minhash_duplicate_pairs
 # calls; the next call unpersists them (bounded cache growth in
-# long-lived sessions).
+# long-lived sessions). Guarded by a lock so concurrent jobs in one
+# session can't corrupt the list; see release_candidate_caches() and the
+# lifetime contract in minhash_duplicate_pairs' docstring.
 _live_candidate_caches: list = []
+_cache_lock = threading.Lock()
+
+
+def release_candidate_caches() -> None:
+    """Unpersists candidate-pair caches from prior
+    minhash_duplicate_pairs calls. Called automatically at the start of
+    each new call; callers that keep many results live concurrently can
+    instead call this explicitly when done with ALL of them."""
+    with _cache_lock:
+        while _live_candidate_caches:
+            _live_candidate_caches.pop().unpersist(blocking=False)
 
 
 def _token_shingles(text: str, k: int) -> set:
@@ -332,6 +347,12 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
     the O(bucket^2) explode — a degenerate hot bucket means thousands
     of copies of one template, which exact_dedup handles at O(n).
     None disables the cap.
+
+    Cache lifetime: the verified-pair result rides a persisted
+    candidate cache that the NEXT call to this function releases — an
+    older result stays correct afterwards but recomputes per action.
+    Consume each result before the next call, or persist the returned
+    DataFrame yourself (see release_candidate_caches).
     """
     buckets = minhash_band_buckets(df, text_col, id_col, num_perm, bands,
                                    shingle_k, spread=spread)
@@ -361,14 +382,19 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
     # (near-dup candidates), and without this the whole signature
     # pipeline re-evaluates per consumer (the static plan shows 3x the
     # scans; AQE exchange reuse only partially saves it).
-    # Cache lifetime: each call releases the PREVIOUS call's candidate
-    # cache (the result DataFrame of that call has normally been fully
-    # consumed by then), so long-lived sessions hold at most one
-    # candidate-pair cache instead of accumulating one per call.
+    # Cache lifetime CONTRACT: each call releases the PREVIOUS call's
+    # candidate cache, so long-lived sessions hold at most one
+    # candidate-pair cache instead of accumulating one per call. A
+    # result from an earlier call therefore stays correct but loses its
+    # cache (recompute-per-action) once a newer call runs; callers that
+    # interleave several live results should finish consuming each
+    # before the next call, or manage persistence themselves on the
+    # returned DataFrame. List mutations are lock-guarded for
+    # concurrent jobs sharing one session.
+    release_candidate_caches()
     pairs = pairs.persist()
-    while _live_candidate_caches:
-        _live_candidate_caches.pop().unpersist(blocking=False)
-    _live_candidate_caches.append(pairs)
+    with _cache_lock:
+        _live_candidate_caches.append(pairs)
     # Exact-Jaccard verification shingles are computed ONLY for docs
     # that appear in a candidate pair (semi-join filter first): at any
     # real threshold that is a vanishing fraction of the corpus.

@@ -120,6 +120,13 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
     round_caches = []
     r = 2  # bound is (r-1)*minWidth, so r=1 can never certify completeness
     while r <= max_ring and n_remaining > 0:
+        # One candidate-pipeline evaluation per round: the round's top-k
+        # (<= n_remaining * k id-sized rows) is the thing cached, and the
+        # done-id bookkeeping, the result union, AND the next round's
+        # anti-join all read that cache. (Caching done_ids instead - the
+        # r3 shape - left the result join re-running the candidate
+        # pipeline per round at the final materialize: +31% on the gate
+        # bench.)
         # Ring-explosion cost gate: a round explodes (2r+1)^2 (s2 block)
         # or 3r(r+1)+1 (hex disk) cells per unfinished query - once that
         # fan-out exceeds the data-side row count, one brute-force pass
@@ -143,21 +150,24 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
         w = Window.partitionBy(query_id).orderBy(F.col("dist_m").asc(),
                                                  F.col(data_id).asc())
         topk = (cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k))
-        stats = (topk.groupBy(query_id)
-                 .agg(F.count("*").alias("_n"),
-                      F.max("dist_m").alias("_dk"),
-                      F.first("_bound").alias("_b")))
-        # The done-id feed is consumed by the result join AND the
-        # anti-join; cache + materialize it ONCE per round (it is tiny:
-        # id-only rows) instead of re-running the candidate pipeline
-        # per consumer. Caches unpersist after the final materialize.
-        done_ids = stats.filter((F.col("_n") >= k) &
-                                (F.col("_dk") <= F.col("_b"))) \
-                        .select(query_id).cache()
-        round_caches.append(done_ids)
-        n_done = done_ids.count()
-        if n_done:
+                .filter(F.col("rank") <= k)).cache()
+        round_caches.append(topk)
+        done_ids = (topk.groupBy(query_id)
+                    .agg(F.count("*").alias("_n"),
+                         F.max("dist_m").alias("_dk"),
+                         F.first("_bound").alias("_b"))
+                    .filter((F.col("_n") >= k) &
+                            (F.col("_dk") <= F.col("_b")))
+                    .select(query_id))
+        n_done = done_ids.count()  # materializes the topk cache
+        if n_done == n_remaining:
+            # Every unfinished query certified this round (the common
+            # terminal case): skip the done-id join entirely.
+            done = topk.select(query_id, data_id, "dist_m", "rank")
+            results = done if results is None \
+                else results.unionByName(done)
+            n_remaining = 0
+        elif n_done:
             done = topk.join(F.broadcast(done_ids), query_id, "inner") \
                        .select(query_id, data_id, "dist_m", "rank")
             results = done if results is None \
@@ -178,6 +188,19 @@ def knn(queries: DataFrame, data: DataFrame, k: int, level: int = 7,
               .filter(F.col("rank") <= k)
               .select(query_id, data_id, "dist_m", "rank"))
         results = bf if results is None else results.unionByName(bf)
+    if results is None:
+        # Empty query side: the ring loop and the brute-force fallback
+        # were both skipped. Return an empty frame with the contract
+        # schema (types derived from the inputs, same as every path).
+        empty = knn_brute_force(
+            q.drop("qcell").limit(0),
+            d.select(data_id, F.col("dlat").alias("lat"),
+                     F.col("dlon").alias("lon")), k, query_id, data_id)
+        out = empty.cache()
+        out.count()
+        q.unpersist()
+        d.unpersist()
+        return out
     # Materialize before releasing the cached inputs the plan references.
     out = results.cache()
     out.count()

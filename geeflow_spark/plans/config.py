@@ -354,10 +354,13 @@ def run_pipeline(spark: SparkSession, config: dict,
                 if grid is None:
                     # one tiny action: max ROI extent -> each ROI covers
                     # <= 4 grid cells, features explode proportionally.
-                    grid = float(labels.agg(F.max(
+                    g = labels.agg(F.max(
                         F.greatest(F.col("cell_size") * F.col("width"),
                                    F.col("cell_size") * F.col("height"))
-                    ).alias("g")).collect()[0]["g"])
+                    ).alias("g")).collect()[0]["g"]
+                    # empty labels -> NULL max; any grid yields the same
+                    # (empty) output, so fall back to a unit grid.
+                    grid = float(g) if g is not None else 1.0
                 out[name] = rasterize.rasterize_fc_distributed(
                     labels, df, prop, grid=grid,
                     reducer=kw.get("reduce_fn", "first"),

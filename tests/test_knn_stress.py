@@ -49,6 +49,21 @@ def test_knn_sparse_data_exact_and_bounded(spark, index):
     assert wall < 120, f"ring schedule took {wall:.0f}s on sparse data"
 
 
+def test_knn_empty_query_side(spark):
+    # Empty query side + forced ring path: the loop and the brute-force
+    # fallback are both skipped; must return an empty frame with the
+    # contract schema, not crash (ADVICE r3: results=None tail).
+    data = pd.DataFrame({
+        "data_id": np.arange(10),
+        "lat": np.linspace(-40, 40, 10),
+        "lon": np.linspace(-90, 90, 10)})
+    qdf = spark.createDataFrame([], "query_id long, lat double, lon double")
+    got = knn.knn(qdf, spark.createDataFrame(data), k=3, level=7,
+                  brute_force_threshold=0)
+    assert got.columns == ["query_id", "data_id", "dist_m", "rank"]
+    assert got.count() == 0
+
+
 def test_knn_ring_gate_math():
     # the gate must trip before the fan-out exceeds the data rows
     for n_data in (10, 100, 10_000):
