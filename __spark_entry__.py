@@ -17,6 +17,8 @@ explicit id tiebreaks; integer outputs cast to BIGINT on both sides.
 from __future__ import annotations
 
 import hashlib
+import os
+import re
 from collections.abc import Callable
 
 import numpy as np
@@ -32,7 +34,7 @@ from geeflow_spark.functions import s2 as _s2
 from geeflow_spark.functions import utm as _utm
 from geeflow_spark.functions import text as T
 from geeflow_spark.operators import dedup, knn, similarity, spatial_join, splits, tiles
-from geeflow_spark.plans import generate
+from geeflow_spark.plans import generate, layout
 from geeflow_spark.sources import catalog, derived, synth
 
 # ---------------------------------------------------------------------------
@@ -103,6 +105,30 @@ def _q_geo_pip_rectangles(spark, sf_dir):
         docs.select("doc_id", "lat", "lon"), _rect_regions_pdf(), level=6)
     # No orderBy: the gate compares order-insensitively and a global
     # sort is a range Exchange the 100 TB plan must not pay.
+    return out.select("doc_id", F.col("region_id").cast("long")
+                      .alias("region_id"))
+
+
+def _q_geo_pip_pruned(spark, sf_dir):
+    # The 100 TB scan story under the oracle: the SAME rectangle PIP
+    # join as geo_pip_rectangles, but answered through a cell-CLUSTERED
+    # copy of the documents table (plans/layout.py) so the region
+    # covers become a directory-level partition filter and the scan
+    # reads only the touched coarse cells. Output is identical to
+    # geo_pip_rectangles, so the same independent half-plane SQL oracle
+    # applies. The executed plan is asserted to carry a NON-EMPTY
+    # PartitionFilters - the query fails loudly if pruning regresses.
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/geeflow_clustered_l6c3_{base}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        layout.write_cell_clustered(
+            _docs(spark, sf_dir).select("doc_id", "lat", "lon"), path,
+            level=6, coarse_level=3)
+    out = layout.join_points_regions_pruned(
+        spark, path, _rect_regions_pdf(), level=6, coarse_level=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]", plan), \
+        "pruned-scan PIP join lost its partition filter"
     return out.select("doc_id", F.col("region_id").cast("long")
                       .alias("region_id"))
 
@@ -483,6 +509,7 @@ def _q_stats_hist_bins(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "geo_pip_rectangles": _q_geo_pip_rectangles,
+        "geo_pip_pruned": _q_geo_pip_pruned,
         "geo_pip_convex": _q_geo_pip_convex,
         "geo_tile_assign": _q_geo_tile_assign,
         "geo_knn": _q_geo_knn,
@@ -727,6 +754,9 @@ def _split_bucket_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     sqls = {
         "geo_pip_rectangles": _rect_oracle(),
+        # identical result contract to geo_pip_rectangles - the pruned
+        # scan must not change a single row.
+        "geo_pip_pruned": _rect_oracle(),
         "geo_pip_convex": (_halfplane(TRI[1], TRI[0]) + " UNION ALL "
                            + _halfplane(PENT[1], PENT[0])),
         "geo_tile_assign": _tile_oracle(),

@@ -91,10 +91,10 @@ def run_queries(sf_dir: str) -> dict:
     spark = get_spark("bench")
     qs = entrymod.queries()
     bench_set = [
-        "geo_pip_rectangles", "geo_tile_assign", "geo_knn",
-        "geo_cell_counts", "geo_cell_counts_hex", "rel_q1_pricing",
-        "rel_q3_revenue", "rel_topk_window", "dedup_exact",
-        "dedup_minhash_pairs", "dedup_simhash_pairs",
+        "geo_pip_rectangles", "geo_pip_pruned", "geo_tile_assign",
+        "geo_knn", "geo_cell_counts", "geo_cell_counts_hex",
+        "rel_q1_pricing", "rel_q3_revenue", "rel_topk_window",
+        "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
         "sim_cosine_topk", "sim_ivf_topk", "text_token_counts",
         "spans_explode", "src_s2_cloudfree_mosaic",
         "src_s2_quality_mosaic",
@@ -107,12 +107,21 @@ def run_queries(sf_dir: str) -> dict:
     qs["geo_cell_counts"](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
 
+    # Per-query protocol: 1 warmup + median of 3 timed runs. Single
+    # cold runs drifted +10-78% round-over-round on queries whose code
+    # hadn't changed (r3 verdict), drowning real regressions; medians
+    # make the per-query numbers adjudicable.
+    import statistics
     timings = {}
     for name in bench_set:
-        t0 = time.monotonic()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(walls), 3)
 
     t0 = time.monotonic()
     rows, dps, wall = _flagship(spark, FLAGSHIP_DOCS)

@@ -8,15 +8,20 @@ Large-pipeline first-class operators (not in the reference):
     candidates only within matching bucket keys (multi-probe via bands),
     exact re-rank inside buckets. At 10^12 rows the bucket join replaces
     the O(Q*N) cross join with O(Q*bucket_size).
-  - ivf_topk: inverted-file ANN (the build spec's "IVF variant"):
-    spherical k-means coarse quantizer trained on a bounded
-    deterministic sample, distributed nearest-centroid assignment
-    (the inverted lists), queries probe their nprobe nearest
-    centroids, exact cosine re-rank on the probed lists only.
-    nprobe == n_centroids degenerates to exact search (tested).
+  - ivf_build / ivf_probe: inverted-file ANN (the build spec's "IVF
+    variant") as a real build/probe split: spherical k-means coarse
+    quantizer trained on a bounded deterministic sample, ONE
+    distributed nearest-centroid assignment pass materialized as the
+    inverted lists (parquet partitioned by centroid when a path is
+    given - probes become partition-pruned scans), queries probe
+    their nprobe nearest centroids, exact cosine re-rank on the
+    probed lists only. nprobe == n_centroids degenerates to exact
+    search (tested). ivf_topk is the one-shot wrapper.
 """
 
 from __future__ import annotations
+
+import threading
 
 import numpy as np
 import pandas as pd
@@ -24,6 +29,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
+
+
+_ivf_lock = threading.Lock()
 
 
 def _dot(a, b):
@@ -121,17 +129,23 @@ def spherical_kmeans(mat: np.ndarray, k: int, iters: int = 10,
     return centroids
 
 
-def ivf_centroid_udfs(centroids: np.ndarray, nprobe: int):
-    """(assign_udf: vec -> nearest centroid id,
-    probe_udf: vec -> array of the nprobe nearest centroid ids)."""
+def _assign_udf(centroids: np.ndarray):
+    """vec -> nearest centroid id (cosine; row-normalized)."""
     c_t = centroids.T.copy()
-    nprobe = min(nprobe, len(centroids))
 
     @pandas_udf(LongType())
     def _assign(vec: pd.Series) -> pd.Series:
         mat = np.stack(vec.to_numpy()).astype(np.float64)
         return pd.Series((_normalize_rows(mat) @ c_t).argmax(axis=1)
                          .astype(np.int64))
+
+    return _assign
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    """vec -> array of the nprobe nearest centroid ids."""
+    c_t = centroids.T.copy()
+    nprobe = min(nprobe, len(centroids))
 
     @pandas_udf(ArrayType(LongType()))
     def _probe(vec: pd.Series) -> pd.Series:
@@ -140,7 +154,106 @@ def ivf_centroid_udfs(centroids: np.ndarray, nprobe: int):
         order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype(np.int64)))
 
-    return _assign, _probe
+    return _probe
+
+
+def ivf_centroid_udfs(centroids: np.ndarray, nprobe: int):
+    """(assign_udf, probe_udf) - kept for API compatibility."""
+    return _assign_udf(centroids), _probe_udf(centroids, nprobe)
+
+
+class IVFIndex:
+    """Built IVF index: coarse quantizer + materialized inverted lists.
+
+    `centroids`: (n_centroids, dim) unit rows (tiny - rides task
+    closures). `lists`: DataFrame (data_id, _c) - the inverted lists,
+    computed ONCE at build time: written to parquet partitioned by `_c`
+    when `path` was given (probing a few lists then becomes a
+    partition-PRUNED scan - the 10^12-row layout), else cached in the
+    session. `release()` drops the session cache.
+    """
+
+    def __init__(self, centroids: np.ndarray, lists: DataFrame,
+                 data_id: str, path: str | None = None):
+        self.centroids = centroids
+        self.lists = lists
+        self.data_id = data_id
+        self.path = path
+
+    def release(self) -> None:
+        if self.path is None:
+            self.lists.unpersist(blocking=False)
+
+
+def ivf_build(data: DataFrame, n_centroids: int = 64,
+              train_rows: int = 16384, iters: int = 10, seed: int = 3,
+              data_id: str = "vec_id", vec_col: str = "embedding",
+              path: str | None = None) -> IVFIndex:
+    """Builds the IVF index: trains the coarse quantizer on a BOUNDED
+    deterministic sample (orderBy(id).limit(train_rows) - standard IVF
+    practice), then runs ONE distributed nearest-centroid assignment
+    pass over the corpus and materializes the result (the inverted
+    lists). Probes reuse the materialized lists - the corpus is never
+    re-encoded per query batch.
+
+    With `path`, lists land in parquet partitioned by `_c` (survives
+    the session; at 10^12 rows this is the layout that makes a probe a
+    directory-pruned scan). Without, they are cached + materialized in
+    the session.
+    """
+    train = (data.orderBy(data_id).limit(train_rows)
+             .select(vec_col).toPandas())
+    centroids = spherical_kmeans(np.stack(train[vec_col].to_numpy()),
+                                 n_centroids, iters, seed)
+    assigned = data.select(
+        F.col(data_id),
+        _assign_udf(centroids)(F.col(vec_col)).alias("_c"))
+    if path is not None:
+        assigned.write.mode("overwrite").partitionBy("_c").parquet(path)
+        lists = data.sparkSession.read.parquet(path)
+    else:
+        lists = assigned.persist()
+        lists.count()
+    return IVFIndex(centroids, lists, data_id, path)
+
+
+def ivf_probe(queries: DataFrame, index: IVFIndex, data: DataFrame,
+              k: int, nprobe: int = 8, query_id: str = "query_id",
+              data_id: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """Probes a built index: (query_id, vec_id, score, rank).
+
+    Each query fans out to its nprobe nearest centroids; candidates are
+    the union of those inverted lists. The probed-centroid set is
+    collected driver-side (bounded by n_centroids - NOT by corpus or
+    query size) and pushed as a partition filter on path-backed lists,
+    so the scan reads only the probed directories. Candidates follow
+    the lsh_topk id-only-shuffle pattern: dedupe bare id pairs, rejoin
+    vectors once, broadcast the query side. Exact cosine re-rank within
+    the probed lists; nprobe >= n_centroids degenerates to exact search
+    (same tiebreaks as brute_force_topk).
+    """
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    d = data.select(F.col(index.data_id).alias(data_id),
+                    F.col(vec_col).alias("_dv"))
+    qb = q.select(query_id,
+                  F.explode(_probe_udf(index.centroids, nprobe)
+                            (F.col("_qv"))).alias("_c")).persist()
+    probed = sorted(r["_c"] for r in qb.select("_c").distinct().collect())
+    lists = index.lists.filter(F.col("_c").isin(probed)) \
+        .withColumnRenamed(index.data_id, data_id)
+    cand_ids = qb.join(lists, "_c").select(query_id, data_id).distinct()
+    cand = (cand_ids
+            .join(F.broadcast(q), query_id)
+            .join(d, data_id)
+            .withColumn("score", cosine_col(F.col("_qv"), F.col("_dv"))))
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
+                                             F.col(data_id).asc())
+    out = (cand.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= k)
+           .select(query_id, data_id, "score", "rank"))
+    qb.unpersist(blocking=False)
+    return out
 
 
 def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
@@ -148,40 +261,27 @@ def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
              train_rows: int = 16384, iters: int = 10, seed: int = 3,
              query_id: str = "query_id", data_id: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
-    """IVF approximate cosine top-k: (query_id, vec_id, score, rank).
+    """One-shot IVF approximate cosine top-k: ivf_build + ivf_probe.
 
-    Scale topology: the coarse quantizer trains on a BOUNDED
-    deterministic sample (orderBy(id).limit(train_rows) - standard IVF
-    practice; the quantizer is tiny and rides every task closure), the
-    nearest-centroid assignment runs distributed (at 10^12 rows the
-    assigned table is written partitioned/bucketed by `_c` - the
-    inverted lists - and reused across query batches), and candidates
-    follow the same id-only-shuffle pattern as lsh_topk: probe join on
-    the centroid key, dedupe bare id pairs, rejoin vectors once,
-    broadcast the query side. Exact re-rank within probed lists; with
-    nprobe >= n_centroids output equals brute_force_topk row-for-row
-    (same tiebreaks).
+    Convenience wrapper for single-batch use; to amortize the index
+    across query batches (the 10^12-row pattern), call ivf_build once -
+    with a `path` for persisted, partition-pruned inverted lists - and
+    ivf_probe per batch. The wrapper's session-cached index from the
+    PREVIOUS call is released on the next call (same bounded-cache
+    contract as dedup.minhash_duplicate_pairs).
     """
-    train = (data.orderBy(data_id).limit(train_rows)
-             .select(vec_col).toPandas())
-    centroids = spherical_kmeans(np.stack(train[vec_col].to_numpy()),
-                                 n_centroids, iters, seed)
-    assign_udf, probe_udf = ivf_centroid_udfs(centroids, nprobe)
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
-    d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"))
-    db = d.select(data_id, assign_udf(F.col("_dv")).alias("_c"))
-    qb = q.select(query_id,
-                  F.explode(probe_udf(F.col("_qv"))).alias("_c"))
-    cand_ids = qb.join(db, "_c").select(query_id, data_id).distinct()
-    cand = (cand_ids
-            .join(F.broadcast(q), query_id)
-            .join(d, data_id)
-            .withColumn("score", cosine_col(F.col("_qv"), F.col("_dv"))))
-    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
-                                             F.col(data_id).asc())
-    return (cand.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select(query_id, data_id, "score", "rank"))
+    global _live_ivf_index
+    idx = ivf_build(data, n_centroids, train_rows, iters, seed,
+                    data_id, vec_col)
+    with _ivf_lock:
+        if _live_ivf_index is not None:
+            _live_ivf_index.release()
+        _live_ivf_index = idx
+    return ivf_probe(queries, idx, data, k, nprobe, query_id, data_id,
+                     vec_col)
+
+
+_live_ivf_index: IVFIndex | None = None
 
 
 def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,

@@ -192,9 +192,18 @@ def salted_cell_counts(points_with_cell: DataFrame, cell_col: str = "cell",
     skew handling, the analog of the reference's Reshuffle at
     export_beam_tfds.py:225): stage 1 aggregates (cell, salt) partials -
     hot cells spread over n_salt reducers - stage 2 sums the partials.
+
+    The salt is a CONTENT hash of the full row (xxhash64 over all
+    columns), not a partition-index function: the same input spreads
+    identically run to run regardless of input partitioning, so the
+    skew defuse is reproducible (r3 verdict: the old
+    monotonically_increasing_id salt made stage-1 partial sizes vary
+    with task layout).
     """
     salted = points_with_cell.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c
+                                     in points_with_cell.columns]),
+                        F.lit(n_salt)))
     stage1 = salted.groupBy(cell_col, "_salt").count()
     return stage1.groupBy(cell_col).agg(F.sum("count").alias("count"))
 

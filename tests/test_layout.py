@@ -1,6 +1,8 @@
 """Cell-clustered layout: partition pruning reaches the scan, files are
 fine-cell-sorted, and the coarse cell matches the numpy parent."""
 
+import re
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -34,7 +36,7 @@ def test_write_read_clustered(spark, tmp_path, index):
     some = [int(pdf["cell_p"].iloc[0])]
     plan = layout.read_cells(spark, p, some)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "PartitionFilters" in plan
+    assert re.search(r"PartitionFilters: \[[^\]]", plan)  # NON-empty
     assert layout.read_cells(spark, p, some).count() == \
         (pdf["cell_p"] == some[0]).sum()
 
@@ -66,7 +68,7 @@ def test_pruned_join_matches_full_join(spark, tmp_path):
     pruned_df = layout.join_points_regions_pruned(
         spark, p, regions, level=8, coarse_level=4)
     plan = pruned_df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
+    assert re.search(r"PartitionFilters: \[[^\]]", plan)  # NON-empty
     pruned = pruned_df.select("doc_id", "region_id").toPandas()
     key = ["doc_id", "region_id"]
     import pandas as pd

@@ -160,6 +160,39 @@ def test_checkpoint_resume(spark, tmp_path):
     assert [r["partition"] for r in recs3] == ["2"]
 
 
+def test_checkpoint_resume_torn_partition(spark, tmp_path):
+    # Failure injection: a crash mid-write leaves a PARTIAL partition
+    # directory (stray temp/garbage files, no manifest record). The
+    # relaunch must recompute exactly the uncommitted partitions, and
+    # the torn directory must be fully replaced (no leftover rows, no
+    # double counting).
+    import os
+    out = str(tmp_path / "out")
+    docs = synth.docs(spark, 300).withColumn(
+        "part", (F.crc32(F.col("doc_id")) % 4).cast("int"))
+    checkpoint.run_partitioned(docs, out, "part", [0, 1],
+                               id_col="doc_id")
+    # Simulate the torn write for partition 2: a directory with a
+    # half-written (corrupt) parquet file and no manifest.
+    torn = os.path.join(out, "part=2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x00torn")  # truncated garbage
+    with open(os.path.join(torn, ".part-00001.parquet.crc"), "wb") as f:
+        f.write(b"\x00")
+    recs = checkpoint.run_partitioned(docs, out, "part", [0, 1, 2, 3],
+                                      id_col="doc_id")
+    # exactly the uncommitted partitions re-ran
+    assert [r["partition"] for r in recs] == ["2", "3"]
+    # the torn file is gone (overwrite replaced the directory) and the
+    # dataset reads back complete and exactly-once
+    assert not os.path.exists(os.path.join(torn, "part-00000.parquet")) \
+        or spark.read.parquet(torn).count() == recs[0]["rows"]
+    total = spark.read.parquet(out + "/part=*")
+    assert total.count() == 300
+    assert total.select("doc_id").distinct().count() == 300
+
+
 def test_exact_dedup_hash_collision_safe(spark):
     # Force a first-digest collision via an injected constant hasher:
     # the second independent digest must keep distinct texts apart.
@@ -268,3 +301,38 @@ def test_ivf_partial_probe_recall(spark):
     pd.testing.assert_frame_equal(
         got.sort_values(["query_id", "rank"]).reset_index(drop=True),
         got2.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_ivf_build_probe_reuse(spark, tmp_path, monkeypatch):
+    # Build once (path-backed inverted lists), probe twice with
+    # DIFFERENT query batches: the corpus assignment must not be
+    # recomputed by probes (monkeypatch makes any assign attempt
+    # raise), the probe scan must be partition-PRUNED to the probed
+    # lists, and full-probe results stay exact vs brute force.
+    import re
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = similarity.ivf_build(emb, n_centroids=8, train_rows=512,
+                               path=str(tmp_path / "ivf_lists"))
+
+    def _boom(*a, **k):
+        raise AssertionError("assignment recomputed after build")
+
+    monkeypatch.setattr(similarity, "_assign_udf", _boom)
+    for lo, hi in ((0, 6), (6, 12)):
+        q = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)) \
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        got_df = similarity.ivf_probe(q, idx, emb, k=4, nprobe=8)
+        got = got_df.toPandas()
+        exp = similarity.brute_force_topk(q, emb, 4).toPandas()
+        key = ["query_id", "rank"]
+        g = got.sort_values(key).reset_index(drop=True)
+        e = exp.sort_values(key).reset_index(drop=True)
+        assert list(g["vec_id"]) == list(e["vec_id"])
+
+    # partial probe: the executed plan's list scan carries a NON-EMPTY
+    # PartitionFilters (directory pruning on _c).
+    q = emb.filter(F.col("vec_id") < 3) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = similarity.ivf_probe(q, idx, emb, k=2, nprobe=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]", plan), plan

@@ -56,3 +56,30 @@ def test_salted_counts_on_hot_cell(spark):
     assert int(got["count"].sum()) == n
     assert got["count"].max() == int(n * 0.9)
     assert len(got) == 2
+
+
+def test_salt_deterministic_and_spread(spark):
+    # The salt is a row-content hash: (a) identical input produces the
+    # IDENTICAL stage-1 partial layout regardless of partitioning -
+    # repartitioned input yields the same (cell, salt) partial counts -
+    # and (b) the hot cell's rows actually spread across all n_salt
+    # values with no degenerate salt bucket.
+    n, n_salt = 40_000, 16
+    docs = (spark.range(0, n, 1, 8)
+            .select(F.col("id").alias("doc_id"),
+                    F.lit(47.35).alias("lat"), F.lit(8.45).alias("lon")))
+    enc = spatial_join.with_cell(docs, level=8)
+
+    def partials(df):
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
+                            F.lit(n_salt)))
+        return (salted.groupBy("cell", "_salt").count().toPandas()
+                .sort_values(["cell", "_salt"]).reset_index(drop=True))
+
+    a = partials(enc)
+    b = partials(enc.repartition(3))  # different physical layout
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == n_salt  # one hot cell spread over every salt
+    # even-ish spread: no salt bucket more than 2x the mean
+    assert a["count"].max() < 2 * n / n_salt
