@@ -31,7 +31,7 @@ import threading
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -361,6 +361,14 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
     # recompute the signature subtree for BOTH aliases). Per-bucket
     # work is quadratic in bucket size by LSH construction; max_bucket
     # caps the degenerate case before the pair explosion.
+    # Window-count prefilter BEFORE the array build: on a clean corpus
+    # virtually every bucket is a singleton (n_docs * bands rows), and
+    # building + discarding a one-element array per singleton dominated
+    # the wall at >=10^6 docs. The count runs over the same hash
+    # partitioning the groupBy needs - one shuffle total.
+    wb = Window.partitionBy("band", "band_hash")
+    buckets = (buckets.withColumn("_n", F.count("*").over(wb))
+               .filter(F.col("_n") > 1).drop("_n"))
     grouped = (buckets.groupBy("band", "band_hash")
                .agg(F.array_sort(F.collect_set(F.col(id_col)))
                     .alias("_ids"))
@@ -421,12 +429,15 @@ def simhash_udf(shingle_k: int = 2,
     """text column -> 64-bit simhash (as signed long).
 
     Shingle hashing is JVM-side (`hash_family`: "xxh64" fast default,
-    "md5" SQL-recomputable); the bit fold is one segmented numpy
-    reduction over the Arrow batch (bits matrix + add.reduceat), no
-    per-row Python.
+    "md5" SQL-recomputable); the bit fold is a segmented numpy
+    reduction over the Arrow batch, no per-row Python. The bit matrix
+    is built by np.unpackbits on the little-endian byte view (64
+    shift-ANDs replaced by one libc-speed expansion) and CACHE-BLOCKED
+    to ~32k shingle rows: the unblocked (n_shingles x 64) int64
+    expansion was ~100 MB of temporaries per Arrow batch and dominated
+    the signature wall at 10^6 docs (same lesson as the PIP kernel).
     """
     token_hash = TOKEN_HASH_FAMILIES[hash_family]
-    shifts = np.arange(64, dtype=np.uint64)
 
     @pandas_udf(LongType())
     def _sim(tok_hashes: pd.Series) -> pd.Series:
@@ -444,12 +455,28 @@ def simhash_udf(shingle_k: int = 2,
             keep[1:] = (sh[1:] != sh[:-1]) | (doc[1:] != doc[:-1])
             sh, doc = sh[keep], doc[keep]
             live = np.unique(doc)
-            seg = np.searchsorted(doc, live)
-            bits = ((sh[:, None] >> shifts[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            sums = np.add.reduceat(2 * bits - 1, seg, axis=0)
-            vals = ((sums > 0).astype(np.uint64)
-                    << shifts[None, :]).sum(axis=1)
+            starts = np.searchsorted(doc, live)
+            ends = np.append(starts[1:], len(sh))
+            vals = np.empty(len(live), dtype=np.uint64)
+            CH = 32768  # ~2 MB uint8 bit-block; L2/L3-resident
+            i = 0
+            while i < len(live):
+                # grow the doc window until its shingle span hits CH
+                j = i + 1
+                while j < len(live) and ends[j - 1] - starts[i] < CH:
+                    j += 1
+                lo, hi = starts[i], ends[j - 1]
+                sub = np.ascontiguousarray(sh[lo:hi])
+                bits = np.unpackbits(
+                    sub.view(np.uint8).reshape(-1, 8), axis=1,
+                    bitorder="little").astype(np.int32)
+                bsum = np.add.reduceat(bits, starts[i:j] - lo, axis=0)
+                # majority of +-1 votes == 2*ones - count > 0
+                cond = 2 * bsum > (ends[i:j] - starts[i:j])[:, None]
+                vals[i:j] = np.packbits(
+                    cond, axis=1,
+                    bitorder="little").copy().view(np.uint64).ravel()
+                i = j
             out[live] = vals.astype(np.int64)
         return pd.Series(out)
 
@@ -482,13 +509,41 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
             .select("a", "b", "jaccard"))
 
 
+def _block_combo_masks(blocks: int, block_t: int) -> list[int]:
+    """Signed-int64 masks, one per C(blocks, block_t) block combination.
+
+    The 64 bits split into `blocks` contiguous blocks (widths as equal
+    as possible); each mask keeps the bits of one t-subset of blocks.
+    Two hashes agree on a combination iff their masked values are
+    equal. Pigeonhole: a pair within hamming d <= blocks - block_t
+    differs in at most d blocks, so some t-subset is untouched and the
+    pair shares that table's key - guaranteed recall (Manku, Jain &
+    Das Sarma, WWW'07 - the published web-scale simhash scheme).
+    """
+    from itertools import combinations
+    w, r = divmod(64, blocks)
+    widths = [w + (1 if i < r else 0) for i in range(blocks)]
+    starts = [sum(widths[:i]) for i in range(blocks)]
+    block_masks = [((1 << widths[i]) - 1) << starts[i]
+                   for i in range(blocks)]
+    out = []
+    for combo in combinations(range(blocks), block_t):
+        m = 0
+        for i in combo:
+            m |= block_masks[i]
+        out.append(m - (1 << 64) if m >= (1 << 63) else m)
+    return out
+
+
 def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", shingle_k: int = 2,
                             bands: int = 4,
                             max_hamming: int = 12,
                             hash_family: str = "xxh64",
                             max_bucket: int = 4096,
-                            spread: int | None = None) -> DataFrame:
+                            spread: int | None = None,
+                            blocks: int | None = None,
+                            block_t: int | None = None) -> DataFrame:
     """SimHash near-dup pairs (a < b, hamming <= max_hamming).
 
     Banded LSH recall: the 64-bit simhash splits into `bands` 16-bit
@@ -497,6 +552,20 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     Candidate emission is the same groupBy + ordered-pair explode as
     minhash (one signature pass, no self-join); the exact popcount
     filter runs JVM-side (bit_count(a XOR b)).
+
+    SCALE PATH (`blocks`/`block_t`): plain banding collapses beyond
+    ~10^6 docs - a 16-bit band key has 65536 values, so a 10^7-doc
+    corpus averages 150+ docs per bucket and the per-bucket O(n^2)
+    pair emission goes quadratic on UNIFORMLY RANDOM hashes, not just
+    degenerate ones. Manku-style block-combination keys fix the key
+    width independently of the guarantee: C(blocks, block_t) tables,
+    each keyed by block_t of `blocks` hash blocks (key width
+    block_t*64/blocks bits), guaranteed recall for hamming <=
+    blocks - block_t. blocks=6, block_t=3 gives 20 tables of ~32-bit
+    keys: at 10^7 random docs a bucket is ~1-2 docs, and the scheme
+    holds to 10^10+ docs (blocks=8, block_t=4 -> 70 tables of 32-bit
+    keys, hamming <= 4, at 10^12). Set max_hamming <= blocks-block_t
+    for guaranteed-complete output.
 
     `max_bucket` bounds per-bucket blowup: a degenerate hot bucket
     (boilerplate corpus — many near-identical simhashes) would emit
@@ -508,12 +577,31 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     sim = simhash_udf(shingle_k, hash_family=hash_family)
     h = _spread(df, spread).select(F.col(id_col),
                                    sim(F.col(text_col)).alias("_h"))
-    band_ix = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    width = 64 // bands
-    bh = h.select(id_col, "_h", band_ix).select(
-        id_col, "_h", "band",
-        F.expr(f"shiftrightunsigned(_h, band * {width}) "
-               f"& {(1 << width) - 1}").alias("bval"))
+    if blocks is not None:
+        if block_t is None or not (0 < block_t <= blocks):
+            raise ValueError("blocks requires 0 < block_t <= blocks")
+        masks = _block_combo_masks(blocks, block_t)
+        combo = F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.lit(m).alias("_m")) for i, m in enumerate(masks)
+        ])).alias("c")
+        bh = h.select(id_col, "_h", combo).select(
+            id_col, "_h", F.col("c.band").alias("band"),
+            F.col("_h").bitwiseAND(F.col("c._m")).alias("bval"))
+    else:
+        band_ix = F.explode(F.sequence(F.lit(0),
+                                       F.lit(bands - 1))).alias("band")
+        width = 64 // bands
+        bh = h.select(id_col, "_h", band_ix).select(
+            id_col, "_h", "band",
+            F.expr(f"shiftrightunsigned(_h, band * {width}) "
+                   f"& {(1 << width) - 1}").alias("bval"))
+    # singleton-bucket prefilter: see minhash_duplicate_pairs - the
+    # combination scheme emits n_docs * C(blocks, t) rows and nearly
+    # all buckets are singletons at scale.
+    wb = Window.partitionBy("band", "bval")
+    bh = (bh.withColumn("_n", F.count("*").over(wb))
+          .filter(F.col("_n") > 1).drop("_n"))
     grouped = (bh.groupBy("band", "bval")
                .agg(F.array_sort(F.collect_set(F.struct(F.col(id_col),
                                                         F.col("_h"))))

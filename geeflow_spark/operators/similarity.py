@@ -166,19 +166,25 @@ class IVFIndex:
     """Built IVF index: coarse quantizer + materialized inverted lists.
 
     `centroids`: (n_centroids, dim) unit rows (tiny - rides task
-    closures). `lists`: DataFrame (data_id, _c) - the inverted lists,
-    computed ONCE at build time: written to parquet partitioned by `_c`
-    when `path` was given (probing a few lists then becomes a
-    partition-PRUNED scan - the 10^12-row layout), else cached in the
-    session. `release()` drops the session cache.
+    closures). `lists`: DataFrame (data_id[, vector], _c) - the
+    inverted lists, computed ONCE at build time: written to parquet
+    partitioned by `_c` when `path` was given (probing a few lists
+    then becomes a partition-PRUNED scan - the 10^12-row layout), else
+    cached in the session. Unlike LSH buckets, each vector belongs to
+    exactly ONE list, so storing the vectors inside the lists costs no
+    duplication and lets probes skip the full-corpus vector rejoin
+    entirely (`store_vectors=True`, the default). `release()` drops
+    the session cache.
     """
 
     def __init__(self, centroids: np.ndarray, lists: DataFrame,
-                 data_id: str, path: str | None = None):
+                 data_id: str, path: str | None = None,
+                 vec_col: str | None = None):
         self.centroids = centroids
         self.lists = lists
         self.data_id = data_id
         self.path = path
+        self.vec_col = vec_col  # vector column stored in lists, or None
 
     def release(self) -> None:
         if self.path is None:
@@ -188,7 +194,8 @@ class IVFIndex:
 def ivf_build(data: DataFrame, n_centroids: int = 64,
               train_rows: int = 16384, iters: int = 10, seed: int = 3,
               data_id: str = "vec_id", vec_col: str = "embedding",
-              path: str | None = None) -> IVFIndex:
+              path: str | None = None,
+              store_vectors: bool = True) -> IVFIndex:
     """Builds the IVF index: trains the coarse quantizer on a BOUNDED
     deterministic sample (orderBy(id).limit(train_rows) - standard IVF
     practice), then runs ONE distributed nearest-centroid assignment
@@ -199,26 +206,32 @@ def ivf_build(data: DataFrame, n_centroids: int = 64,
     With `path`, lists land in parquet partitioned by `_c` (survives
     the session; at 10^12 rows this is the layout that makes a probe a
     directory-pruned scan). Without, they are cached + materialized in
-    the session.
+    the session. `store_vectors` keeps the vector payload inside the
+    lists (one list per vector -> zero duplication), which is what
+    makes the probe join-free; False stores bare ids (probes then
+    rejoin `data`, the pre-r4 topology).
     """
     train = (data.orderBy(data_id).limit(train_rows)
              .select(vec_col).toPandas())
     centroids = spherical_kmeans(np.stack(train[vec_col].to_numpy()),
                                  n_centroids, iters, seed)
+    cols = [F.col(data_id)] + \
+        ([F.col(vec_col)] if store_vectors else [])
     assigned = data.select(
-        F.col(data_id),
-        _assign_udf(centroids)(F.col(vec_col)).alias("_c"))
+        *cols, _assign_udf(centroids)(F.col(vec_col)).alias("_c"))
     if path is not None:
         assigned.write.mode("overwrite").partitionBy("_c").parquet(path)
         lists = data.sparkSession.read.parquet(path)
     else:
         lists = assigned.persist()
         lists.count()
-    return IVFIndex(centroids, lists, data_id, path)
+    return IVFIndex(centroids, lists, data_id, path,
+                    vec_col if store_vectors else None)
 
 
-def ivf_probe(queries: DataFrame, index: IVFIndex, data: DataFrame,
-              k: int, nprobe: int = 8, query_id: str = "query_id",
+def ivf_probe(queries: DataFrame, index: IVFIndex,
+              data: DataFrame | None = None, k: int = 10,
+              nprobe: int = 8, query_id: str = "query_id",
               data_id: str = "vec_id", vec_col: str = "embedding"
               ) -> DataFrame:
     """Probes a built index: (query_id, vec_id, score, rank).
@@ -227,26 +240,41 @@ def ivf_probe(queries: DataFrame, index: IVFIndex, data: DataFrame,
     the union of those inverted lists. The probed-centroid set is
     collected driver-side (bounded by n_centroids - NOT by corpus or
     query size) and pushed as a partition filter on path-backed lists,
-    so the scan reads only the probed directories. Candidates follow
-    the lsh_topk id-only-shuffle pattern: dedupe bare id pairs, rejoin
-    vectors once, broadcast the query side. Exact cosine re-rank within
-    the probed lists; nprobe >= n_centroids degenerates to exact search
-    (same tiebreaks as brute_force_topk).
+    so the scan reads only the probed directories.
+
+    With vectors stored in the lists (build default) the probe is
+    JOIN-FREE on the corpus side: pruned list scan -> broadcast-join
+    the (small) query side -> exact cosine re-rank -> per-query top-k.
+    Nothing corpus-sized ever shuffles. For a bare-id index, `data` is
+    rejoined once (id-only candidate pattern). nprobe >= n_centroids
+    degenerates to exact search (same tiebreaks as brute_force_topk).
     """
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
-    d = data.select(F.col(index.data_id).alias(data_id),
-                    F.col(vec_col).alias("_dv"))
     qb = q.select(query_id,
                   F.explode(_probe_udf(index.centroids, nprobe)
                             (F.col("_qv"))).alias("_c")).persist()
     probed = sorted(r["_c"] for r in qb.select("_c").distinct().collect())
     lists = index.lists.filter(F.col("_c").isin(probed)) \
         .withColumnRenamed(index.data_id, data_id)
-    cand_ids = qb.join(lists, "_c").select(query_id, data_id).distinct()
-    cand = (cand_ids
-            .join(F.broadcast(q), query_id)
-            .join(d, data_id)
-            .withColumn("score", cosine_col(F.col("_qv"), F.col("_dv"))))
+    if index.vec_col is not None:
+        # vectors live in the lists: candidates never leave the pruned
+        # scan's partitions; the only join is vs the broadcast queries.
+        cand = (lists.withColumnRenamed(index.vec_col, "_dv")
+                .join(qb, "_c")
+                .join(F.broadcast(q), query_id))
+    else:
+        if data is None:
+            raise ValueError("bare-id index requires `data` to rejoin "
+                             "vectors")
+        d = data.select(F.col(index.data_id).alias(data_id),
+                        F.col(vec_col).alias("_dv"))
+        cand_ids = qb.join(lists, "_c").select(query_id, data_id) \
+            .distinct()
+        cand = (cand_ids
+                .join(F.broadcast(q), query_id)
+                .join(d, data_id))
+    cand = cand.withColumn("score",
+                           cosine_col(F.col("_qv"), F.col("_dv")))
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())
     out = (cand.withColumn("rank", F.row_number().over(w))

@@ -253,6 +253,30 @@ def test_simhash_candidate_pairs(spark):
     assert (out["hamming"] <= 15).all()
 
 
+def test_simhash_block_combo_recall(spark):
+    # Manku block-combination keys (blocks=6, t=3): EVERY pair with
+    # hamming <= blocks - t = 3 must be found (pigeonhole guarantee),
+    # and nothing above max_hamming may appear. Truth = brute-force
+    # popcount over the same simhashes.
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    texts = base + base[:10]  # 10 exact dups (hamming 0)
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    got = dedup.simhash_candidate_pairs(
+        df, shingle_k=2, blocks=6, block_t=3, max_hamming=3).toPandas()
+    hp = df.select("doc_id", dedup.simhash_udf(2)(F.col("text"))
+                   .alias("h")).toPandas().sort_values("doc_id")
+    h = hp["h"].to_numpy(np.int64).astype(np.uint64)
+    truth = {(a, b) for a in range(len(h)) for b in range(a + 1, len(h))
+             if bin(int(h[a] ^ h[b])).count("1") <= 3}
+    assert truth  # the exact dups guarantee a non-trivial truth set
+    assert set(map(tuple, got[["a", "b"]].itertuples(index=False))) \
+        == truth
+    assert (got["hamming"] <= 3).all()
+
+
 def test_xxh64_twin_matches_spark(spark):
     from tools.xxh64 import xxh64_str_signed
     strs = ["", "a", "hello world", "x" * 40, "ünïcode ☃", "y" * 31]
