@@ -316,7 +316,17 @@ def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
              query_id: str = "query_id", data_id: str = "vec_id",
              vec_col: str = "embedding", n_planes: int = 16,
              bands: int = 4) -> DataFrame:
-    """Approximate cosine top-k via sign-LSH bucketing + exact re-rank."""
+    """Approximate cosine top-k via sign-LSH bucketing + exact re-rank.
+
+    Sizing: each band key carries n_planes/bands sign bits, so a
+    bucket holds ~n/2^(n_planes/bands) vectors - keep that exponent
+    near log2(n) or the candidate set degenerates toward a cross join
+    (the default 4-bit bands suit <=10^5 rows; 10^7 rows want
+    n_planes ~ 64-96 at bands=4-6, trading recall per band for more
+    bands). For corpus-scale ANN prefer ivf_build/ivf_probe: IVF's
+    candidate volume is nprobe/n_centroids of the corpus by
+    construction, independent of hash luck.
+    """
     bud = hyperplane_buckets_udf(dim, n_planes, bands)
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
     d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"))

@@ -253,6 +253,33 @@ def test_simhash_candidate_pairs(spark):
     assert (out["hamming"] <= 15).all()
 
 
+def test_block_combo_masks_properties():
+    # Pure-python pigeonhole property: for random hash pairs with
+    # d <= blocks - t flipped bits, SOME combination mask sees equal
+    # masked values; masks jointly cover all 64 bits; count = C(B,t).
+    from math import comb
+    rng = np.random.default_rng(9)
+    for blocks, t in ((6, 3), (8, 4), (4, 2), (5, 5)):
+        masks = dedup._block_combo_masks(blocks, t)
+        assert len(masks) == comb(blocks, t)
+        m_u = [np.uint64(m % (1 << 64)) for m in masks]
+        cover = np.uint64(0)
+        for m in m_u:
+            cover |= m
+        if t == blocks:
+            assert cover == np.uint64(0xFFFFFFFFFFFFFFFF)
+        d_max = blocks - t
+        for _ in range(200):
+            h = np.uint64(rng.integers(0, 1 << 63))
+            flips = rng.choice(64, size=rng.integers(0, d_max + 1),
+                               replace=False)
+            h2 = h
+            for b in flips:
+                h2 = h2 ^ (np.uint64(1) << np.uint64(b))
+            assert any((h & m) == (h2 & m) for m in m_u), \
+                (blocks, t, flips)
+
+
 def test_simhash_block_combo_recall(spark):
     # Manku block-combination keys (blocks=6, t=3): EVERY pair with
     # hamming <= blocks - t = 3 must be found (pigeonhole guarantee),
