@@ -346,6 +346,24 @@ def _q_dedup_ngram(spark, sf_dir):
     return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_components(spark, sf_dir):
+    # Near-dup CLUSTERS: pairs -> connected components (component =
+    # min member id = the canonical survivor), closing the dedup
+    # pipeline. Edges = the exact 3-gram J>=0.5 pair graph, so the
+    # DuckDB oracle independently recomputes BOTH the edges (list-
+    # comprehension shingle Jaccard) and the closure (recursive-CTE
+    # min-label propagation) - a genuine cross-check of the iterative
+    # Spark algorithm, not a replay.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(
+        d, threshold=0.5, shingle_k=3,
+        spread=spark.sparkContext.defaultParallelism)
+    comp = dedup.connected_components(pairs)
+    return comp.select(F.col("id").cast("long").alias("id"),
+                       F.col("component").cast("long")
+                       .alias("component"))
+
+
 def _q_dedup_embedding(spark, sf_dir):
     # Embedding-cosine near-dup pairs (brute-force exact at gate scale;
     # similarity.lsh_topk is the scale path for the same predicate).
@@ -529,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,
         "dedup_ngram_pairs": _q_dedup_ngram,
+        "dedup_components": _q_dedup_components,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
@@ -885,6 +904,25 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY k
         """,
         "dedup_ngram_pairs": _ngram_jaccard_oracle(3, 0.5),
+        # components of the same exact pair graph via recursive-CTE
+        # min-label closure - independent of the Spark iteration.
+        "dedup_components": f"""
+          WITH RECURSIVE e AS (
+            SELECT a, b FROM ({_ngram_jaccard_oracle(3, 0.5)})
+          ),
+          sym AS (
+            SELECT a AS s, b AS d FROM e
+            UNION ALL SELECT b, a FROM e
+          ),
+          reach(n, l) AS (
+            SELECT s, s FROM sym
+            UNION
+            SELECT sym.d, reach.l FROM reach JOIN sym ON sym.s = reach.n
+          )
+          SELECT CAST(n AS BIGINT) AS id,
+                 CAST(MIN(l) AS BIGINT) AS component
+          FROM reach GROUP BY n
+        """,
         "dedup_minhash_pairs": _ngram_jaccard_oracle(3, 0.6),
         "dedup_simhash_pairs": _SIMHASH_ORACLE,
         "dedup_embedding_pairs": """

@@ -21,6 +21,9 @@ DataFrame ops + Arrow-batched kernels:
   - ngram_jaccard_pairs: EXACT all-pairs n-gram Jaccard (crossJoin);
     verification/oracle scale only - use minhash_duplicate_pairs for
     large inputs.
+  - connected_components: pair graph -> near-dup clusters (component =
+    min member id), closing the dedup pipeline: pairs -> cluster ->
+    canonical survivor per cluster.
 """
 
 from __future__ import annotations
@@ -422,6 +425,61 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
                              _jaccard_col(F.col("_sha"), F.col("_shb")))
             .filter(F.col("jaccard") >= verify_jaccard)
             .select("a", "b", "jaccard"))
+
+
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b", id_out: str = "id",
+                         comp_out: str = "component",
+                         max_iter: int = 50) -> DataFrame:
+    """Connected components of a near-dup pair graph.
+
+    Input: undirected edges (a, b); output: one row per node that
+    appears in ANY pair, (id, component) with component = the minimum
+    node id of its component - the canonical survivor, deterministic.
+
+    Min-label propagation: each round every node takes the min of its
+    own label and its neighbors' labels (one shuffle join + one
+    groupBy min per round), terminating when a round changes nothing.
+    Rounds needed = graph diameter; near-dup components are
+    star/clique-shaped (diameter 1-3) so this is 2-4 rounds in
+    practice - and the pair graph is the TINY relation by contract
+    (near-dup pairs are a vanishing fraction of any real corpus; the
+    corpus itself never enters this operator). Each round's labels go
+    through localCheckpoint: an iterative plan MUST truncate lineage -
+    persist() alone leaves Catalyst re-analyzing a plan that doubles
+    per round and OOMs the driver around round ~12 (measured).
+    `max_iter` is a pathological-chain backstop, not a truncation:
+    hitting it raises rather than returning a wrong answer.
+    """
+    edges = pairs.select(F.col(a_col).alias("_s"),
+                         F.col(b_col).alias("_d"))
+    sym = edges.union(pairs.select(F.col(b_col).alias("_s"),
+                                   F.col(a_col).alias("_d"))) \
+        .localCheckpoint()
+    labels = (sym.select(F.col("_s").alias("_n")).distinct()
+              .withColumn("_l", F.col("_n")).localCheckpoint())
+    for _ in range(max_iter):
+        nb = (sym.join(labels.withColumnRenamed("_n", "_d")
+                       .withColumnRenamed("_l", "_nl"), "_d")
+              .groupBy("_s").agg(F.min("_nl").alias("_nl")))
+        new = (labels.join(nb.withColumnRenamed("_s", "_n"),
+                           "_n", "left")
+               .select("_n", F.least(
+                   F.col("_l"),
+                   F.coalesce("_nl", F.col("_l"))).alias("_l"))
+               .localCheckpoint())  # materializes + truncates lineage
+        changed = new.join(
+            labels.withColumnRenamed("_l", "_old"), "_n") \
+            .filter(F.col("_l") != F.col("_old")).count()
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds - pathological chain graph?")
+    return labels.select(F.col("_n").alias(id_out),
+                         F.col("_l").alias(comp_out))
 
 
 def simhash_udf(shingle_k: int = 2,

@@ -253,6 +253,53 @@ def test_simhash_candidate_pairs(spark):
     assert (out["hamming"] <= 15).all()
 
 
+def test_connected_components_vs_union_find(spark):
+    # random sparse pair graphs vs an independent python union-find
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n = 60
+        m = rng.integers(20, 60)
+        a = rng.integers(0, n, m)
+        off = rng.integers(1, n, m)
+        b = (a + off) % n
+        pdf = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in pdf.itertuples(index=False):
+            parent[find(int(x))] = find(int(y))
+        seen = sorted(set(pdf["a"]) | set(pdf["b"]))
+        roots = {}
+        expect = {}
+        for v in seen:  # ascending: root label = min member
+            r = find(v)
+            roots.setdefault(r, v)
+            expect[v] = roots[r]
+        got = dedup.connected_components(
+            spark.createDataFrame(pdf)).toPandas()
+        got_map = dict(zip(got["id"], got["component"]))
+        assert got_map == expect, trial
+
+
+def test_connected_components_chain_and_empty(spark):
+    # worst-case diameter: a pure chain (converges, label = 0) and an
+    # empty edge set (empty output, correct schema)
+    chain = pd.DataFrame({"a": range(0, 15), "b": range(1, 16)})
+    got = dedup.connected_components(
+        spark.createDataFrame(chain)).toPandas()
+    assert sorted(got["id"]) == list(range(16))
+    assert set(got["component"]) == {0}
+    empty = spark.createDataFrame([], "a long, b long")
+    out = dedup.connected_components(empty)
+    assert out.columns == ["id", "component"]
+    assert out.count() == 0
+
+
 def test_block_combo_masks_properties():
     # Pure-python pigeonhole property: for random hash pairs with
     # d <= blocks - t flipped bits, SOME combination mask sees equal
