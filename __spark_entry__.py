@@ -907,10 +907,10 @@ def oracle_sql() -> dict[str, str]:
         # components of the same exact pair graph via recursive-CTE
         # min-label closure - independent of the Spark iteration.
         "dedup_components": f"""
-          WITH RECURSIVE e AS (
+          WITH RECURSIVE e AS MATERIALIZED (
             SELECT a, b FROM ({_ngram_jaccard_oracle(3, 0.5)})
           ),
-          sym AS (
+          sym AS MATERIALIZED (
             SELECT a AS s, b AS d FROM e
             UNION ALL SELECT b, a FROM e
           ),
