@@ -132,13 +132,20 @@ def join_points_regions(points: DataFrame, regions: pd.DataFrame,
                         region_cols: tuple = ("region_id",),
                         how: str = "inner",
                         index: str = "s2",
-                        buffer_deg: float = 0.0) -> DataFrame:
+                        buffer_deg: float = 0.0,
+                        precomputed_cell: str | None = None) -> DataFrame:
     """Spatial inner/left join: point rows x containing regions.
 
     Broadcast path: candidate cells of all regions are broadcast; the
     point side never shuffles. Every matching (point, region) pair is
     returned (multiplicity preserved - `fc_get`-style first-match is a
     separate reducer, see `first_match`).
+
+    `precomputed_cell`: name of an existing level-`level` cell column
+    to use instead of re-encoding - the cell-clustered layout
+    (plans/layout.py) stores the fine cell at write time precisely so
+    reads don't pay the encode again (at 10^12 rows the read-time
+    re-encode would dwarf the join).
     """
     spark = points.sparkSession
     covers = region_covers_pdf(regions, level, index=index,
@@ -149,7 +156,11 @@ def join_points_regions(points: DataFrame, regions: pd.DataFrame,
         props = spark.createDataFrame(regions[["region_id"] + keep])
         covers_df = covers_df.join(F.broadcast(props), "region_id")
 
-    pts = with_cell(points, level, lat_col, lon_col, index=index)
+    if precomputed_cell is not None:
+        pts = points.withColumnRenamed(precomputed_cell, "cell") \
+            if precomputed_cell != "cell" else points
+    else:
+        pts = with_cell(points, level, lat_col, lon_col, index=index)
     cand = pts.join(F.broadcast(covers_df), "cell", "inner")
     refined = cand.filter(
         pip_filter_udf(regions, buffer_deg=buffer_deg)(

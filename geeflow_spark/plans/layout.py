@@ -98,7 +98,9 @@ def join_points_regions_pruned(spark: SparkSession, path: str, regions,
     refine on the (already fine-cell-encoded) surviving rows.
 
     Requires `path` written by write_cell_clustered with the same
-    (level, coarse_level, index).
+    (level, coarse_level, index). The stored fine `cell` column is
+    REUSED as the join key (the layout's precompute) - rows are never
+    re-encoded at read time.
     """
     import numpy as np
 
@@ -112,6 +114,6 @@ def join_points_regions_pruned(spark: SparkSession, path: str, regions,
         x0, y0, x1, y1 = geometry.polygon_bbox(ring)
         ids = mod.cover_bbox(y0, y1, x0, x1, coarse_level)
         coarse.update(int(c) for c in np.asarray(ids).astype(np.int64))
-    pts = read_cells(spark, path, sorted(coarse)).drop("cell_p", "cell")
+    pts = read_cells(spark, path, sorted(coarse)).drop("cell_p")
     return sj.join_points_regions(pts, regions, level=level, index=index,
-                                  **join_kw)
+                                  precomputed_cell="cell", **join_kw)
