@@ -427,6 +427,26 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
             .select("a", "b", "jaccard"))
 
 
+def _persistent_rdd_ids(sc) -> set:
+    """Ids of currently persisted RDDs (incl. localCheckpoint blocks)."""
+    return {int(i) for i in
+            sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def _release_rdds(sc, ids) -> None:
+    """Best-effort unpersist of persisted RDDs by id (no-op if gone)."""
+    m = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = m.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
+# Rounds the last connected_components call took (test observability
+# for the O(log diameter) pointer-jumping claim).
+_last_cc_rounds: int = 0
+
+
 def connected_components(pairs: DataFrame, a_col: str = "a",
                          b_col: str = "b", id_out: str = "id",
                          comp_out: str = "component",
@@ -437,49 +457,115 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     appears in ANY pair, (id, component) with component = the minimum
     node id of its component - the canonical survivor, deterministic.
 
-    Min-label propagation: each round every node takes the min of its
-    own label and its neighbors' labels (one shuffle join + one
-    groupBy min per round), terminating when a round changes nothing.
-    Rounds needed = graph diameter; near-dup components are
-    star/clique-shaped (diameter 1-3) so this is 2-4 rounds in
-    practice - and the pair graph is the TINY relation by contract
-    (near-dup pairs are a vanishing fraction of any real corpus; the
-    corpus itself never enters this operator). Each round's labels go
-    through localCheckpoint: an iterative plan MUST truncate lineage -
-    persist() alone leaves Catalyst re-analyzing a plan that doubles
-    per round and OOMs the driver around round ~12 (measured).
-    `max_iter` is a pathological-chain backstop, not a truncation:
-    hitting it raises rather than returning a wrong answer.
+    Min-label propagation WITH pointer jumping: each round every node
+    takes (1) the min of its own and its neighbors' labels, then (2)
+    the label OF that label (labels are node ids, so one self-join
+    halves every label-chain - the pointer-doubling trick). Rounds =
+    O(log diameter) instead of O(diameter): a 100-link chain closes in
+    ~8 rounds, and the star/clique-shaped near-dup graphs still close
+    in 2-3. The pair graph is the TINY relation by contract (near-dup
+    pairs are a vanishing fraction of any real corpus; the corpus
+    itself never enters this operator).
+
+    Cost per round is exactly ONE action: the changed-count rides the
+    propagation output as a flag column and is aggregated from the
+    same lazily-localCheckpointed frame that becomes the next round's
+    labels (r4 ran three driver-synchronous actions per round - the
+    measured ~10x constant-factor overhead). localCheckpoint is load-
+    bearing: an iterative plan MUST truncate lineage - persist() alone
+    leaves Catalyst re-analyzing a plan that doubles per round and
+    OOMs the driver around round ~12 (measured). Superseded rounds'
+    checkpoint blocks are released as the loop advances (persistent-
+    RDD id diff), so long-lived sessions don't accumulate one
+    materialized label set per round; the RETURNED frame keeps the
+    final round's blocks - unpersist it when done. `max_iter` is a
+    backstop, not a truncation: hitting it raises rather than
+    returning a wrong answer (with pointer jumping it implies
+    diameter ~2^max_iter - not a real graph).
     """
+    global _last_cc_rounds
+    sc = pairs.sparkSession.sparkContext
+    base_ids = _persistent_rdd_ids(sc)
     edges = pairs.select(F.col(a_col).alias("_s"),
                          F.col(b_col).alias("_d"))
     sym = edges.union(pairs.select(F.col(b_col).alias("_s"),
                                    F.col(a_col).alias("_d"))) \
         .localCheckpoint()
+    sym_ids = _persistent_rdd_ids(sc) - base_ids
     labels = (sym.select(F.col("_s").alias("_n")).distinct()
               .withColumn("_l", F.col("_n")).localCheckpoint())
-    for _ in range(max_iter):
-        nb = (sym.join(labels.withColumnRenamed("_n", "_d")
-                       .withColumnRenamed("_l", "_nl"), "_d")
-              .groupBy("_s").agg(F.min("_nl").alias("_nl")))
-        new = (labels.join(nb.withColumnRenamed("_s", "_n"),
-                           "_n", "left")
-               .select("_n", F.least(
-                   F.col("_l"),
-                   F.coalesce("_nl", F.col("_l"))).alias("_l"))
-               .localCheckpoint())  # materializes + truncates lineage
-        changed = new.join(
-            labels.withColumnRenamed("_l", "_old"), "_n") \
-            .filter(F.col("_l") != F.col("_old")).count()
-        labels = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            f"rounds - pathological chain graph?")
+    live_ids = _persistent_rdd_ids(sc) - base_ids - sym_ids
+    rounds = 0
+    try:
+        for rounds in range(1, max_iter + 1):
+            nb = (sym.join(labels.withColumnRenamed("_n", "_d")
+                           .withColumnRenamed("_l", "_nl"), "_d")
+                  .groupBy("_s").agg(F.min("_nl").alias("_nl")))
+            half = (labels.join(nb.withColumnRenamed("_s", "_n"),
+                                "_n", "left")
+                    .select("_n", F.col("_l").alias("_l0"),
+                            F.least(F.col("_l"),
+                                    F.coalesce("_nl", F.col("_l")))
+                            .alias("_l1")))
+            # pointer jump: labels are node ids -> look up the label's
+            # own label and take the min (halves label-chain lengths).
+            jump = labels.select(F.col("_n").alias("_l1"),
+                                 F.col("_l").alias("_l2"))
+            new = (half.join(jump, "_l1", "left")
+                   .select("_n",
+                           F.least(F.col("_l1"),
+                                   F.coalesce("_l2", F.col("_l1")))
+                           .alias("_l"),
+                           F.col("_l0"))
+                   .withColumn("_chg",
+                               (F.col("_l") != F.col("_l0"))
+                               .cast("long"))
+                   .select("_n", "_l", "_chg")
+                   .localCheckpoint(eager=False))
+            # ONE job: the agg materializes the lazy checkpoint AND
+            # returns the changed count from the same pass.
+            changed = int(new.agg(F.sum("_chg")).collect()[0][0] or 0)
+            seen = _persistent_rdd_ids(sc)
+            new_ids = seen - base_ids - sym_ids - live_ids
+            _release_rdds(sc, live_ids)  # superseded round's blocks
+            live_ids = new_ids
+            labels = new.drop("_chg")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds - pathological chain graph?")
+    finally:
+        _release_rdds(sc, sym_ids)
+        _last_cc_rounds = rounds
     return labels.select(F.col("_n").alias(id_out),
                          F.col("_l").alias(comp_out))
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame,
+                    id_col: str = "doc_id", a_col: str = "a",
+                    b_col: str = "b", max_iter: int = 50) -> DataFrame:
+    """The corpus-level dedup deliverable: the FILTERED corpus.
+
+    pairs -> connected components -> drop every doc that belongs to a
+    component but is not its canonical min-id survivor; docs that
+    appear in no pair pass through untouched. This is the operator an
+    LLM-data pipeline actually runs (the reference's nearest analog is
+    its skip-existing export filter, export_rasters.py:444-446); the
+    pair/cluster operators above are its building blocks.
+
+    Plan shape at 10^12 docs: the drop list is derived from the pair
+    graph (the tiny relation - near-dup members only), so the
+    anti-join broadcasts it and the corpus streams through one scan
+    with zero shuffles. Returns docs' full rows, survivors only.
+    """
+    comp = connected_components(pairs, a_col, b_col,
+                                max_iter=max_iter)
+    drop = comp.filter(F.col("id") != F.col("component")) \
+        .select(F.col("id").alias(id_col))
+    out = docs.join(F.broadcast(drop), id_col, "left_anti")
+    return out
 
 
 def simhash_udf(shingle_k: int = 2,
@@ -636,6 +722,13 @@ def simhash_candidate_pairs(df: DataFrame, text_col: str = "text",
     h = _spread(df, spread).select(F.col(id_col),
                                    sim(F.col(text_col)).alias("_h"))
     if blocks is not None:
+        if not (1 < blocks <= 64):
+            # blocks > 64 would yield zero-width blocks: a combination
+            # of only zero-width blocks has mask 0 and puts EVERY doc
+            # in one bucket - the O(n^2) explosion this scheme exists
+            # to avoid. blocks == 1 has no non-trivial combinations.
+            raise ValueError(f"blocks must satisfy 1 < blocks <= 64, "
+                             f"got {blocks}")
         if block_t is None or not (0 < block_t <= blocks):
             raise ValueError("blocks requires 0 < block_t <= blocks")
         masks = _block_combo_masks(blocks, block_t)

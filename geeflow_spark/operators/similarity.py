@@ -252,8 +252,17 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
     qb = q.select(query_id,
                   F.explode(_probe_udf(index.centroids, nprobe)
-                            (F.col("_qv"))).alias("_c")).persist()
-    probed = sorted(r["_c"] for r in qb.select("_c").distinct().collect())
+                            (F.col("_qv"))).alias("_c"))
+    # Collect the (query, centroid) fan-out ONCE - it is bounded by
+    # |queries| * nprobe (the query side is small by contract; it gets
+    # broadcast below anyway) - and rebuild qb from the collected rows.
+    # This both yields the probed-centroid set for the partition filter
+    # and pins the probe-UDF evaluation to a single pass, with no
+    # persist to leak on error or to unpersist before downstream
+    # actions re-run the plan (the r4 recompute-per-action gap).
+    qb_rows = qb.collect()
+    probed = sorted({r["_c"] for r in qb_rows})
+    qb = queries.sparkSession.createDataFrame(qb_rows, qb.schema)
     lists = index.lists.filter(F.col("_c").isin(probed)) \
         .withColumnRenamed(index.data_id, data_id)
     if index.vec_col is not None:
@@ -277,11 +286,9 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
                            cosine_col(F.col("_qv"), F.col("_dv")))
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())
-    out = (cand.withColumn("rank", F.row_number().over(w))
-           .filter(F.col("rank") <= k)
-           .select(query_id, data_id, "score", "rank"))
-    qb.unpersist(blocking=False)
-    return out
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, data_id, "score", "rank"))
 
 
 def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
@@ -310,6 +317,18 @@ def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
 
 
 _live_ivf_index: IVFIndex | None = None
+
+
+def release_session_index() -> None:
+    """Releases the session-cached IVF index held by the last ivf_topk
+    call (bounded-cache contract); no-op when none is live. Benchmarks
+    call this so a prior ANN query's cached lists can't occupy executor
+    memory during an unrelated measurement."""
+    global _live_ivf_index
+    with _ivf_lock:
+        if _live_ivf_index is not None:
+            _live_ivf_index.release()
+            _live_ivf_index = None
 
 
 def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,

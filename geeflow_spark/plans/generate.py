@@ -116,7 +116,8 @@ def fused_geo_udf(regions: pd.DataFrame, cell_size: float, width: int,
 
 def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
                       cell_level: int = 8, split_level: int = 9,
-                      tile_cell_size: float = 10.0, tile_width: int = 96
+                      tile_cell_size: float = 10.0, tile_width: int = 96,
+                      precomputed_cell: str | None = None
                       ) -> DataFrame:
     """The flagship query. Returns one row per (doc, containing region):
     doc_id, spans, lat, lon, region_id, gridcode, class_name,
@@ -139,6 +140,16 @@ def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
     inflated 30% from local[4] to local[16] on the old plan; see
     BENCH/BASELINE.md). The document side never shuffles; the only wide
     exchange is whatever aggregation the caller adds downstream.
+
+    `precomputed_cell`: name of a stored S2 cell column at a level >=
+    max(cell_level, split_level) - the cell-clustered layout
+    (plans/layout.py) writes one precisely so reads skip the trig-heavy
+    S2 encode: both the join cell and the split cell derive from the
+    stored id by parent() bit math. Combined with layout.read_cells
+    restricted to the regions' coarse cover, this is the pruned-scan
+    flagship: identical output (parent() is transitive), a fraction of
+    the scan. The column passes through to the output (it is part of
+    the doc schema).
     """
     from geeflow_spark.functions import geometry, s2
     from geeflow_spark.functions import utm as utm_lib
@@ -171,6 +182,8 @@ def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
     doc_cols = [f.name for f in doc_fields]
     lat_ix = doc_cols.index("lat")
     lon_ix = doc_cols.index("lon")
+    pc_ix = (doc_cols.index(precomputed_cell)
+             if precomputed_cell is not None else None)
 
     # mapInArrow, not mapInPandas: the document payload (spans - nested
     # array<struct> columns) passes through as Arrow buffers and the
@@ -202,8 +215,14 @@ def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
                 .astype(np.float64, copy=False)
             lo = rb.column(lon_ix).to_numpy(zero_copy_only=False) \
                 .astype(np.float64, copy=False)
-            # ONE leaf encode serves both levels (parent = bit math).
-            leaf = s2.latlon_to_cell_id(la, lo)
+            if pc_ix is not None:
+                # stored fine cell: both levels are parent() bit math -
+                # no S2 encode at read time at all.
+                leaf = rb.column(pc_ix).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64, copy=False)
+            else:
+                # ONE leaf encode serves both levels (parent = bit math).
+                leaf = s2.latlon_to_cell_id(la, lo)
             cells = s2.parent(leaf, cell_level).astype(np.int64)
             # candidate (doc, region) pairs via the cover segments
             pos = np.searchsorted(uc, cells)

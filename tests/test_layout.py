@@ -120,3 +120,45 @@ def test_pruned_join_matches_full_join(spark, tmp_path):
     pd.testing.assert_frame_equal(
         full.sort_values(key).reset_index(drop=True),
         pruned.sort_values(key).reset_index(drop=True))
+
+
+def test_clustered_flagship_matches_flat(spark, tmp_path):
+    # The clustered-layout FLAGSHIP: generate_examples reading the
+    # cell-clustered table through the regions' coarse cover with the
+    # stored fine cell reused (precomputed_cell) - no read-time S2
+    # encode, partition-pruned scan - must produce row-for-row the
+    # same (doc, region, tile, split) output as the flat path.
+    import pandas as pd
+    from geeflow_spark.functions import geometry
+    from geeflow_spark.operators.spatial_join import INDEXES
+    from geeflow_spark.plans import generate
+    from geeflow_spark.sources import synth
+
+    p = str(tmp_path / "flag_clustered")
+    docs = derived.with_geo(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")) \
+        .select("doc_id", "lat", "lon")
+    # stored level must cover max(cell_level, split_level) = 9
+    layout.write_cell_clustered(docs, p, level=10, coarse_level=4)
+    regions = synth.regions_pdf(8, radius_scale=2.0)
+
+    coarse = set()
+    for _, row in regions.iterrows():
+        ring = np.asarray(row["ring"], dtype=np.float64)
+        x0, y0, x1, y1 = geometry.polygon_bbox(ring)
+        coarse.update(int(c) for c in np.asarray(
+            INDEXES["s2"].cover_bbox(y0, y1, x0, x1, 4)).astype("int64"))
+    cdocs = layout.read_cells(spark, p, sorted(coarse)).drop("cell_p")
+
+    cols = ["doc_id", "region_id", "utm_zone", "tile_x", "tile_y",
+            "split"]
+    flat = generate.generate_examples(docs, regions, cell_level=8) \
+        .select(*cols).toPandas()
+    clus = generate.generate_examples(cdocs, regions, cell_level=8,
+                                      precomputed_cell="cell") \
+        .select(*cols).toPandas()
+    key = ["doc_id", "region_id"]
+    pd.testing.assert_frame_equal(
+        flat.sort_values(key).reset_index(drop=True),
+        clus.sort_values(key).reset_index(drop=True))
+    assert len(flat) > 0

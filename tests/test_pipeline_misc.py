@@ -300,6 +300,49 @@ def test_connected_components_chain_and_empty(spark):
     assert out.count() == 0
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    # Pointer jumping: a diameter-120 chain must close in O(log d)
+    # rounds (plain min-label propagation would need 120 and trip any
+    # reasonable max_iter). max_iter=12 both proves the bound and
+    # guards against a regression to linear-round propagation.
+    chain = pd.DataFrame({"a": range(0, 120), "b": range(1, 121)})
+    got = dedup.connected_components(
+        spark.createDataFrame(chain), max_iter=12).toPandas()
+    assert set(got["component"]) == {0}
+    assert len(got) == 121
+    assert dedup._last_cc_rounds <= 12
+
+
+def test_connected_components_releases_checkpoints(spark):
+    # Superseded per-round localCheckpoint blocks must be released as
+    # the loop advances; after unpersisting the returned frame the
+    # session holds no more persisted RDDs than before the call.
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    before = dedup._persistent_rdd_ids(sc)
+    chain = pd.DataFrame({"a": range(0, 40), "b": range(1, 41)})
+    out = dedup.connected_components(spark.createDataFrame(chain))
+    assert out.count() == 41
+    after = dedup._persistent_rdd_ids(sc) - before
+    # only the final round's checkpoint may remain live (the result)
+    assert len(after) <= 2, after
+    dedup._release_rdds(sc, after)
+    assert not (dedup._persistent_rdd_ids(sc) - before)
+
+
+def test_dedup_survivors(spark):
+    # pairs {1-2, 2-3} and {7-9}: components {1,2,3} (survivor 1) and
+    # {7,9} (survivor 7); docs 4, 5 appear in no pair and pass through.
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4, 5, 7, 9],
+         "text": list("abcdefg")}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"a": [1, 2, 7], "b": [2, 3, 9]}))
+    out = dedup.dedup_survivors(docs, pairs).toPandas()
+    assert sorted(out["doc_id"]) == [1, 4, 5, 7]
+    assert list(out.columns) == ["doc_id", "text"]
+
+
 def test_block_combo_masks_properties():
     # Pure-python pigeonhole property: for random hash pairs with
     # d <= blocks - t flipped bits, SOME combination mask sees equal

@@ -83,3 +83,29 @@ def test_salt_deterministic_and_spread(spark):
     assert len(a) == n_salt  # one hot cell spread over every salt
     # even-ish spread: no salt bucket more than 2x the mean
     assert a["count"].max() < 2 * n / n_salt
+
+
+def test_salt_cols_spreads_duplicate_rows(spark):
+    # Fully identical rows all content-hash to ONE salt (the documented
+    # degradation); salting on the unique id column restores the
+    # spread. Totals are exact either way.
+    n, n_salt = 8_000, 16
+    docs = (spark.range(0, n, 1, 4)
+            .select(F.col("id").alias("doc_id"),
+                    F.lit(47.35).alias("lat"), F.lit(8.45).alias("lon")))
+    enc = spatial_join.with_cell(docs, level=8)
+
+    def max_partial(df, **kw):
+        salted_cols = kw.get("salt_cols") or df.columns
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salted_cols]),
+                            F.lit(n_salt)))
+        return (salted.groupBy("cell", "_salt").count()
+                .agg(F.max("count")).collect()[0][0])
+
+    dup = enc.drop("doc_id")  # cell/lat/lon only: every row identical
+    assert max_partial(dup) == n  # collapse: one salt gets everything
+    assert max_partial(enc, salt_cols=["doc_id"]) < 2 * n / n_salt
+    got = spatial_join.salted_cell_counts(
+        enc, salt_cols=["doc_id"]).toPandas()
+    assert int(got["count"].sum()) == n and len(got) == 1
