@@ -34,30 +34,66 @@ from pyspark.sql.types import ArrayType, LongType
 _ivf_lock = threading.Lock()
 
 
-def _dot(a, b):
+# Above this many dimensions the unrolled expression tree gets large
+# enough to strain codegen; fall back to the higher-order form.
+_UNROLL_MAX_DIM = 512
+
+
+def _dot(a, b, dim: int | None = None):
+    """Dot product of two array columns.
+
+    With `dim`, the sum unrolls into dim explicit products - a plain
+    expression tree that whole-stage codegen compiles to JVM
+    arithmetic. Without it, F.aggregate/zip_with lambdas are
+    INTERPRETED per element (measured: scoring 31M candidate rows at
+    dim=16 cost 29s of a 34s probe; the unrolled form is >10x
+    faster). Same left-fold order, so results are bit-identical."""
+    if dim and dim <= _UNROLL_MAX_DIM:
+        out = a[0] * b[0]
+        for i in range(1, dim):
+            out = out + a[i] * b[i]
+        return out
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(a):
+def _norm(a, dim: int | None = None):
+    if dim and dim <= _UNROLL_MAX_DIM:
+        out = a[0] * a[0]
+        for i in range(1, dim):
+            out = out + a[i] * a[i]
+        return F.sqrt(out)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_col(a, b, dim: int | None = None):
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector width from one row (None on an empty frame). The one-row
+    lookup is driver-side and tiny; it buys the codegen'd score path."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    return int(row["n"]) if row is not None else None
 
 
 def brute_force_topk(queries: DataFrame, data: DataFrame, k: int,
                      query_id: str = "query_id", data_id: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     dim: int | None = None) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, score, rank).
 
-    Ties broken by ascending data id for determinism.
+    Ties broken by ascending data id for determinism. `dim` (inferred
+    from the query side when omitted) switches the score to the
+    unrolled codegen'd dot product.
     """
+    if dim is None:
+        dim = _infer_dim(queries, vec_col)
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
     d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"))
     cand = q.crossJoin(d).withColumn(
-        "score", cosine_col(F.col("_qv"), F.col("_dv")))
+        "score", cosine_col(F.col("_qv"), F.col("_dv"), dim)) \
+        .select(query_id, data_id, "score")
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -220,7 +256,14 @@ def ivf_build(data: DataFrame, n_centroids: int = 64,
     assigned = data.select(
         *cols, _assign_udf(centroids)(F.col(vec_col)).alias("_c"))
     if path is not None:
-        assigned.write.mode("overwrite").partitionBy("_c").parquet(path)
+        # Repartition by centroid before the partitioned write: without
+        # it every input task writes a sliver into every centroid
+        # directory - n_input_parts * n_centroids files (measured 131k
+        # ~75-row files at 10M vectors / 1024 centroids, and the probe
+        # scan drowned in open costs). One shuffle of the corpus at
+        # BUILD time (the amortized side) buys one file per list.
+        (assigned.repartition(F.col("_c"))
+         .write.mode("overwrite").partitionBy("_c").parquet(path))
         lists = data.sparkSession.read.parquet(path)
     else:
         lists = assigned.persist()
@@ -268,8 +311,15 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
     if index.vec_col is not None:
         # vectors live in the lists: candidates never leave the pruned
         # scan's partitions; the only join is vs the broadcast queries.
+        # qb MUST be hinted - it comes from createDataFrame(collected
+        # rows), which carries no size stats, and without the hint
+        # Catalyst shuffled the ENTIRE probed list set on _c (measured:
+        # 10M-row exchange, 10s of a 13s probe, skewed on hot
+        # centroids). Broadcast both small sides and the corpus side
+        # stays map-side scan->join->score; the top-k then ships only
+        # the per-partition group limit (WindowGroupLimit).
         cand = (lists.withColumnRenamed(index.vec_col, "_dv")
-                .join(qb, "_c")
+                .join(F.broadcast(qb), "_c")
                 .join(F.broadcast(q), query_id))
     else:
         if data is None:
@@ -277,13 +327,20 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
                              "vectors")
         d = data.select(F.col(index.data_id).alias(data_id),
                         F.col(vec_col).alias("_dv"))
-        cand_ids = qb.join(lists, "_c").select(query_id, data_id) \
-            .distinct()
+        cand_ids = F.broadcast(qb).join(lists, "_c") \
+            .select(query_id, data_id).distinct()
         cand = (cand_ids
                 .join(F.broadcast(q), query_id)
                 .join(d, data_id))
-    cand = cand.withColumn("score",
-                           cosine_col(F.col("_qv"), F.col("_dv")))
+    # Score BEFORE the top-k window and project the vectors away: the
+    # window shuffles every candidate row by query_id, and carrying
+    # both embeddings through it multiplies the shuffle by the vector
+    # payload (measured ~12x row width at dim=16, worse as dim grows).
+    # dim comes from the coarse quantizer - the unrolled codegen'd dot.
+    cand = cand.withColumn(
+        "score", cosine_col(F.col("_qv"), F.col("_dv"),
+                            int(index.centroids.shape[1]))) \
+        .select(query_id, data_id, "score")
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -360,7 +417,9 @@ def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
     cand = (cand_ids
             .join(F.broadcast(q), query_id)
             .join(d, data_id)
-            .withColumn("score", cosine_col(F.col("_qv"), F.col("_dv"))))
+            .withColumn("score",
+                        cosine_col(F.col("_qv"), F.col("_dv"), dim))
+            .select(query_id, data_id, "score"))  # drop vectors pre-shuffle
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())
     return (cand.withColumn("rank", F.row_number().over(w))

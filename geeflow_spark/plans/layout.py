@@ -76,13 +76,29 @@ def write_cell_clustered(df: DataFrame, path: str, *, level: int = 12,
         .write.mode(mode).partitionBy("cell_p").parquet(path))
 
 
-def read_cells(spark: SparkSession, path: str, cells_p: list[int]
-               ) -> DataFrame:
+def read_cells(spark: SparkSession, path: str, cells_p: list[int],
+               rebalance: int | None = None) -> DataFrame:
     """Scan restricted to the given coarse cells: the predicate is a
     partition filter (directory pruning), and any further fine-cell
     predicate the caller adds prunes row groups via the sorted layout.
+
+    `rebalance`: round-robin repartition the pruned subset to this many
+    partitions before handing it downstream. The clustered layout
+    concentrates WORK, not just bytes: downstream per-row cost
+    (candidate fan-out, PIP) is highest exactly in the hot-city cells
+    the layout packs together, and Spark schedules splits by bytes -
+    measured at 100M docs, the hottest split carried ~10s of kernel CPU
+    while the median task had 0.25s, capping the stage at ~4x
+    parallelism on 32 cores. The shuffle is proportional to the PRUNED
+    subset (what partition pruning already bought), which is the right
+    trade whenever the downstream operator is compute-heavy; leave None
+    for scan-dominated consumers (plain filters/aggregations), where
+    the straggler is small and the shuffle is pure overhead.
     """
-    return spark.read.parquet(path).filter(F.col("cell_p").isin(cells_p))
+    out = spark.read.parquet(path).filter(F.col("cell_p").isin(cells_p))
+    if rebalance:
+        out = out.repartition(rebalance)
+    return out
 
 
 def join_points_regions_pruned(spark: SparkSession, path: str, regions,
