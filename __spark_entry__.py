@@ -437,10 +437,11 @@ def _q_dedup_embedding(spark, sf_dir):
 
 
 def _q_sim_cosine_topk(spark, sf_dir):
+    # RAW float column in, per-element double cast inside the unrolled
+    # codegen'd dot (same values as a transform-cast wrapper, which
+    # ProjectCollapse would otherwise inline dim times per row).
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ed = e.select("vec_id", F.transform(F.col("embedding"),
-                                        lambda x: x.cast("double"))
-                  .alias("embedding"))
+    ed = e.select("vec_id", "embedding")
     q = ed.filter(F.col("vec_id") < 10) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.brute_force_topk(q, ed, k=5)
@@ -455,9 +456,7 @@ def _q_sim_ivf_topk(spark, sf_dir):
     # DuckDB cosine oracle checks the whole path row-for-row; the
     # pruning recall is pytest-covered (test_ivf_partial_probe_recall).
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ed = e.select("vec_id", F.transform(F.col("embedding"),
-                                        lambda x: x.cast("double"))
-                  .alias("embedding"))
+    ed = e.select("vec_id", "embedding")  # raw column; see sim_cosine_topk
     q = ed.filter(F.col("vec_id") < 8) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.ivf_topk(q, ed, k=3, n_centroids=8, nprobe=8,

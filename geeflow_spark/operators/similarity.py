@@ -34,9 +34,17 @@ from pyspark.sql.types import ArrayType, LongType
 _ivf_lock = threading.Lock()
 
 
-# Above this many dimensions the unrolled expression tree gets large
-# enough to strain codegen; fall back to the higher-order form.
-_UNROLL_MAX_DIM = 512
+# Unrolling gates, set empirically. The unrolled tree's fixed
+# janino-compile cost is ~linear in tree size and - because each
+# fresh plan generates fresh source - NOT amortized across repeated
+# small queries, so unrolling is gated to dims where compilation is
+# trivial (covers the dim-16 scale corpora, where the unrolled dot
+# measured >10x faster over 31M candidates: 29s of interpreted
+# higher-order lambdas down to ~2s). Above the gate the interpreted
+# form runs, made ~3x cheaper than the naive per-pair cosine by
+# computing norms once per side pre-join (see brute_force_topk).
+_DOT_UNROLL_MAX_DIM = 32
+_NORM_UNROLL_MAX_DIM = 32
 
 
 def _dot(a, b, dim: int | None = None):
@@ -47,23 +55,34 @@ def _dot(a, b, dim: int | None = None):
     arithmetic. Without it, F.aggregate/zip_with lambdas are
     INTERPRETED per element (measured: scoring 31M candidate rows at
     dim=16 cost 29s of a 34s probe; the unrolled form is >10x
-    faster). Same left-fold order, so results are bit-identical."""
-    if dim and dim <= _UNROLL_MAX_DIM:
-        out = a[0] * b[0]
+    faster). Same left-fold order, so results are bit-identical.
+
+    Elements are cast to double INSIDE the unrolled form (a no-op the
+    optimizer strips on double arrays). Callers must therefore pass
+    the RAW array column, never a transform(x -> cast(x)) wrapper:
+    ProjectCollapse inlines such a wrapper into every a[i] access, so
+    the whole per-row transform re-evaluates dim times per row -
+    measured 3x slower than the lambda form it was meant to beat."""
+    if dim and dim <= _DOT_UNROLL_MAX_DIM:
+        out = a[0].cast("double") * b[0].cast("double")
         for i in range(1, dim):
-            out = out + a[i] * b[i]
+            out = out + a[i].cast("double") * b[i].cast("double")
         return out
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+    return F.aggregate(
+        F.zip_with(a, b,
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _norm(a, dim: int | None = None):
-    if dim and dim <= _UNROLL_MAX_DIM:
-        out = a[0] * a[0]
+    if dim and dim <= _NORM_UNROLL_MAX_DIM:
+        out = a[0].cast("double") * a[0].cast("double")
         for i in range(1, dim):
-            out = out + a[i] * a[i]
+            out = out + a[i].cast("double") * a[i].cast("double")
         return F.sqrt(out)
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(F.aggregate(
+        a, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
 def cosine_col(a, b, dim: int | None = None):
@@ -89,10 +108,17 @@ def brute_force_topk(queries: DataFrame, data: DataFrame, k: int,
     """
     if dim is None:
         dim = _infer_dim(queries, vec_col)
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
-    d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"))
+    # Norms are computed PER SIDE before the join - O(|q| + |d|)
+    # evaluations instead of O(|q| * |d|) (the naive per-pair cosine
+    # recomputes both norms per candidate; for the interpreted
+    # higher-order form that was 2/3 of the scoring work).
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"),
+                       _norm(F.col(vec_col), dim).alias("_qn"))
+    d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"),
+                    _norm(F.col(vec_col), dim).alias("_dn"))
     cand = q.crossJoin(d).withColumn(
-        "score", cosine_col(F.col("_qv"), F.col("_dv"), dim)) \
+        "score", _dot(F.col("_qv"), F.col("_dv"), dim)
+        / (F.col("_qn") * F.col("_dn"))) \
         .select(query_id, data_id, "score")
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())
@@ -292,7 +318,9 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
     rejoined once (id-only candidate pattern). nprobe >= n_centroids
     degenerates to exact search (same tiebreaks as brute_force_topk).
     """
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
+    dim = int(index.centroids.shape[1])
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"),
+                       _norm(F.col(vec_col), dim).alias("_qn"))
     qb = q.select(query_id,
                   F.explode(_probe_udf(index.centroids, nprobe)
                             (F.col("_qv"))).alias("_c"))
@@ -318,7 +346,10 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
         # centroids). Broadcast both small sides and the corpus side
         # stays map-side scan->join->score; the top-k then ships only
         # the per-partition group limit (WindowGroupLimit).
+        # list-side norm in the scan project: once per LIST row, not
+        # once per (list row x probing query) candidate.
         cand = (lists.withColumnRenamed(index.vec_col, "_dv")
+                .withColumn("_dn", _norm(F.col("_dv"), dim))
                 .join(F.broadcast(qb), "_c")
                 .join(F.broadcast(q), query_id))
     else:
@@ -326,7 +357,8 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
             raise ValueError("bare-id index requires `data` to rejoin "
                              "vectors")
         d = data.select(F.col(index.data_id).alias(data_id),
-                        F.col(vec_col).alias("_dv"))
+                        F.col(vec_col).alias("_dv"),
+                        _norm(F.col(vec_col), dim).alias("_dn"))
         cand_ids = F.broadcast(qb).join(lists, "_c") \
             .select(query_id, data_id).distinct()
         cand = (cand_ids
@@ -338,8 +370,8 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
     # payload (measured ~12x row width at dim=16, worse as dim grows).
     # dim comes from the coarse quantizer - the unrolled codegen'd dot.
     cand = cand.withColumn(
-        "score", cosine_col(F.col("_qv"), F.col("_dv"),
-                            int(index.centroids.shape[1]))) \
+        "score", _dot(F.col("_qv"), F.col("_dv"), dim)
+        / (F.col("_qn") * F.col("_dn"))) \
         .select(query_id, data_id, "score")
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())
@@ -404,8 +436,10 @@ def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
     construction, independent of hash luck.
     """
     bud = hyperplane_buckets_udf(dim, n_planes, bands)
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"))
-    d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"))
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"),
+                       _norm(F.col(vec_col), dim).alias("_qn"))
+    d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"),
+                    _norm(F.col(vec_col), dim).alias("_dn"))
     qb = q.select(query_id, F.explode(bud(F.col("_qv"))).alias("bucket"))
     db = d.select(data_id, F.explode(bud(F.col("_dv"))).alias("bucket"))
     # Dedup candidate PAIRS on bare ids (16-byte shuffle rows), then
@@ -417,8 +451,8 @@ def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
     cand = (cand_ids
             .join(F.broadcast(q), query_id)
             .join(d, data_id)
-            .withColumn("score",
-                        cosine_col(F.col("_qv"), F.col("_dv"), dim))
+            .withColumn("score", _dot(F.col("_qv"), F.col("_dv"), dim)
+                        / (F.col("_qn") * F.col("_dn")))
             .select(query_id, data_id, "score"))  # drop vectors pre-shuffle
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())
