@@ -65,16 +65,19 @@ def _flagship(spark, n_docs: int, warm: bool = True):
                    .agg(F.sum("n")).collect()[0][0])
 
     if warm:
-        # Steady-state protocol (same as --scaling): two warmups cover
-        # JIT/codegen depth + python-worker spin-up + page cache - a
-        # long-lived cluster pays these once, and single-run timings on
-        # this box vary ~2x on the warm-up slope.
+        # Steady-state protocol (same as --scaling): 3 warmups + median
+        # of 5. Two warmups + median-of-3 was measurably not steady
+        # state on this box (the first timed run after two warmups sat
+        # ~20% high on the warm-up slope - same finding that moved the
+        # scaling children to 3+5), and the headline metric deserves
+        # the stronger protocol.
+        run()
         run()
         run()
     import statistics
     walls = []
     n = 0
-    for _ in range(3 if warm else 1):
+    for _ in range(5 if warm else 1):
         t0 = time.monotonic()
         n = run()
         walls.append(time.monotonic() - t0)
