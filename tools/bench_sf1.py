@@ -239,10 +239,20 @@ def run(spark, n: int) -> dict:
                  .groupBy("count").agg(F.count("*").alias("n"))
                  .collect())
         wall = round(time.monotonic() - t0, 2)
+        # The corpus-level deliverable at scale: filtered corpus =
+        # docs minus non-canonical members. Planted truth: each
+        # 1000-block trio {k0, k0+1, k0+501} keeps only k0 -> expected
+        # survivors = n - 2 * (n/1000) (modulo the few split trios the
+        # size_dist records).
+        t0 = time.monotonic()
+        surv = dedup.dedup_survivors(text, pairs).count()
+        surv_wall = round(time.monotonic() - t0, 2)
         return {"wall": wall, "rounds": dedup._last_cc_rounds,
                 "size_dist": {int(r["count"]): int(r["n"])
                               for r in sizes},
-                "true_components": n // 1000}
+                "true_components": n // 1000,
+                "survivors": surv, "survivors_wall": surv_wall,
+                "expected_survivors": n - 2 * (n // 1000)}
 
     step("components", _cc)
 
@@ -585,7 +595,14 @@ def main() -> None:
         f"jumping rounds over the MATERIALIZED pair graph (one action "
         f"per round; r4's 138.5s conflated the lazily-evaluated pair "
         f"pipeline into the closure timer - the pair graph, not the "
-        f"corpus, is the iteration input).",
+        f"corpus, is the iteration input). Corpus-level survivors "
+        f"(dedup_survivors: broadcast anti-join of non-canonical "
+        f"members): {out['big']['components'].get('survivors'):,} of "
+        f"{big:,} docs in "
+        f"{out['big']['components'].get('survivors_wall')}s, planted "
+        f"expectation {out['big']['components'].get('expected_survivors'):,} "
+        f"(each trio keeps its min id; the delta is the split-trio "
+        f"tail the size distribution records).",
         "",
         "## Skew profile (big corpus, level-8 cells)",
         "",
