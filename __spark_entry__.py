@@ -465,6 +465,25 @@ def _q_sim_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def _q_sim_lsh_topk(spark, sf_dir):
+    # Sign-LSH ANN plumbing end-to-end under the oracle: per-band
+    # bucket keys -> candidate bucket join -> id-pair dedup ->
+    # broadcast query rerank -> per-query top-k. n_planes=0 / bands=1
+    # collapses the bucketing to one bucket, which makes the output
+    # EXACT top-k (the sim_ivf_topk recipe - full probe = exact), so
+    # the DuckDB cosine oracle checks the whole path row-for-row. The
+    # bucket-PRUNING recall is covered by
+    # tests/test_pipeline_misc.py::test_lsh_topk_high_recall and the
+    # sized-bucket 1M/10M recall@10=1.0 measurements in BENCH/SF1.md.
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ed = e.select("vec_id", "embedding")
+    q = ed.filter(F.col("vec_id") < 10) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.lsh_topk(q, ed, k=5, dim=64, n_planes=0, bands=1)
+    return out.select("query_id", "vec_id",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def _q_sim_norms(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.sqrt(F.aggregate(
@@ -606,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": _q_dedup_embedding,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_norms": _q_sim_norms,
         "spans_explode": _q_spans_explode,
         "src_s2_cloudfree_mosaic": _q_src_s2_cloudfree_mosaic,
@@ -1059,6 +1079,23 @@ def oracle_sql() -> dict[str, str]:
                 >= 0.4
         """,
         "sim_cosine_topk": """
+          WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                     WHERE vec_id < 10),
+          pairs AS (
+            SELECT q.query_id, d.vec_id,
+                   list_cosine_similarity(q.embedding, d.embedding) AS score
+            FROM q, embeddings d)
+          SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, vec_id ASC)
+                     AS rnk
+            FROM pairs)
+          WHERE rnk <= 5
+        """,
+        # identical contract to sim_cosine_topk - the degenerate-exact
+        # LSH path must reproduce exact top-5 row-for-row.
+        "sim_lsh_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                      WHERE vec_id < 10),
           pairs AS (
