@@ -484,6 +484,33 @@ def _q_sim_lsh_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+# sim_lsh_pruned config: the PRODUCTION sized-bucket path (not the
+# degenerate-exact one): 16 hyperplanes in 4 bands of 4 sign bits over
+# the 500-vector table -> ~31-vector buckets, real candidate pruning.
+# One tuple so the Spark query and the DuckDB replay can never drift.
+_LSH_PRUNED = dict(dim=64, n_planes=16, bands=4, seed=3, k=5)
+
+
+def _q_sim_lsh_pruned(spark, sf_dir):
+    # The sized-bucket LSH path under the FULL oracle: the DuckDB side
+    # replays the seeded hyperplane signs (plane components as
+    # literals, CASE WHEN dot > 0 sign bits, per-band key packing -
+    # the dedup_simhash_manku recipe), recomputes the band-bucket
+    # candidate join from scratch, and re-ranks by exact cosine - so
+    # the CORRECTNESS row covers exactly the pruning configuration
+    # production runs, approximation and all (top-k WITHIN the
+    # candidate set, not the global top-k).
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ed = e.select("vec_id", "embedding")
+    q = ed.filter(F.col("vec_id") < 10) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    c = _LSH_PRUNED
+    out = similarity.lsh_topk(q, ed, k=c["k"], dim=c["dim"],
+                              n_planes=c["n_planes"], bands=c["bands"])
+    return out.select("query_id", "vec_id",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def _q_sim_norms(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     norm = F.sqrt(F.aggregate(
@@ -626,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
+        "sim_lsh_pruned": _q_sim_lsh_pruned,
         "sim_norms": _q_sim_norms,
         "spans_explode": _q_spans_explode,
         "src_s2_cloudfree_mosaic": _q_src_s2_cloudfree_mosaic,
@@ -855,6 +883,60 @@ def _simhash_manku_oracle(blocks: int, block_t: int,
       ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
   SELECT a, b, CAST(hamming AS BIGINT) AS hamming FROM pairs
   WHERE hamming <= {max_hamming}
+"""
+
+
+def _lsh_pruned_oracle() -> str:
+    """Sized-bucket sign-LSH replay in DuckDB (the Manku-mask recipe
+    applied to hyperplanes): the seeded planes are deterministic
+    numpy constants, so their components become full-precision SQL
+    literals; sign bits are CASE WHEN dot > 0 comparisons on the
+    float64 dot (same promotion as the UDF's float32-matrix x
+    float64-planes matmul); per-band keys pack bits with the same
+    1<<i weights and band<<32 tag as hyperplane_buckets_udf; the
+    band-bucket candidate join, pair dedup, exact-cosine re-rank, and
+    per-query top-k are all recomputed by DuckDB from scratch. The
+    oracle therefore pins the PRUNED output - top-k within the
+    candidate set the hashing actually admits - not the global top-k.
+    """
+    c = _LSH_PRUNED
+    rng = np.random.default_rng(c["seed"])
+    planes = rng.standard_normal((c["n_planes"], c["dim"]))
+    per_band = c["n_planes"] // c["bands"]
+    dots = ",\n         ".join(
+        "(" + " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(planes[p, i])!r}"
+            for i in range(c["dim"])) + f") AS d{p}"
+        for p in range(c["n_planes"]))
+    keys = ", ".join(
+        f"CAST({b} * 4294967296 + " + " + ".join(
+            f"(CASE WHEN d{b * per_band + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(per_band)) + " AS BIGINT)"
+        for b in range(c["bands"]))
+    return f"""
+  WITH dots AS (
+    SELECT vec_id, embedding,
+         {dots}
+    FROM embeddings),
+  bk AS (
+    SELECT vec_id, unnest([{keys}]) AS bucket FROM dots),
+  q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+        WHERE vec_id < 10),
+  cand AS (
+    SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+    FROM bk a JOIN bk b ON a.bucket = b.bucket
+    WHERE a.vec_id < 10),
+  pairs AS (
+    SELECT c.query_id, c.vec_id,
+           list_cosine_similarity(q.embedding, d.embedding) AS score
+    FROM cand c JOIN q ON c.query_id = q.query_id
+                JOIN embeddings d ON c.vec_id = d.vec_id)
+  SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rnk
+    FROM pairs)
+  WHERE rnk <= {c["k"]}
 """
 
 
@@ -1110,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs)
           WHERE rnk <= 5
         """,
+        "sim_lsh_pruned": _lsh_pruned_oracle(),
         "sim_ivf_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                      WHERE vec_id < 8),

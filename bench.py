@@ -98,7 +98,9 @@ def run_queries(sf_dir: str) -> dict:
         "geo_knn", "geo_cell_counts", "geo_cell_counts_hex",
         "rel_q1_pricing", "rel_q3_revenue", "rel_topk_window",
         "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+        "dedup_simhash_manku", "dedup_survivors",
         "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk",
+        "sim_lsh_pruned",
         "text_token_counts",
         "spans_explode", "src_s2_cloudfree_mosaic",
         "src_s2_quality_mosaic",
@@ -123,6 +125,8 @@ def run_queries(sf_dir: str) -> dict:
     from geeflow_spark.operators import dedup as _dedup
     from geeflow_spark.operators import similarity as _sim
     _dedup.release_candidate_caches()
+    _dedup.release_survivors_state()
+    _dedup.release_component_labels()
     _sim.release_session_index()
     spark.catalog.clearCache()
     rows, dps, wall = _flagship(spark, FLAGSHIP_DOCS)

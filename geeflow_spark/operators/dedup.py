@@ -446,6 +446,14 @@ def _release_rdds(sc, ids) -> None:
 # for the O(log diameter) pointer-jumping claim).
 _last_cc_rounds: int = 0
 
+# One CC loop per SparkContext at a time: superseded-checkpoint
+# reclamation diffs the CONTEXT-WIDE persistent-RDD set, so a second
+# concurrent caller's localCheckpoint blocks would land in the diff and
+# be swept out from under a truncated lineage (job failure, not a
+# recompute). The lock makes the diff sound; dedup_survivors holds it
+# across its own checkpoint diff for the same reason.
+_cc_lock = threading.Lock()
+
 
 def connected_components(pairs: DataFrame, a_col: str = "a",
                          b_col: str = "b", id_out: str = "id",
@@ -482,6 +490,53 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     backstop, not a truncation: hitting it raises rather than
     returning a wrong answer (with pointer jumping it implies
     diameter ~2^max_iter - not a real graph).
+
+    Concurrency: the loop holds `_cc_lock` (one CC traversal per
+    SparkContext at a time) because the reclamation diff above is
+    context-wide - a checkpoint persisted concurrently by another
+    thread would be swept. Other operators' caches are safe: the diff
+    only collects ids that appeared DURING this locked loop.
+
+    The returned blocks are also registered with the module so a
+    long-lived session that did not hand-unpersist every result can
+    sweep them all at a safe point via release_component_labels()
+    (the battery-twice hygiene test found exactly this creep).
+    """
+    with _cc_lock:
+        labels, live_ids = _connected_components_locked(
+            pairs, a_col, b_col, max_iter)
+        _cc_returned_ids.update(live_ids)
+    return labels.select(F.col("_n").alias(id_out),
+                         F.col("_l").alias(comp_out))
+
+
+# Final-round label blocks handed out by public connected_components
+# calls (caller-owned by contract, but sweepable: sessions that keep
+# many results live release them in one place when done with ALL).
+_cc_returned_ids: set = set()
+
+
+def release_component_labels() -> None:
+    """Releases the localCheckpoint blocks of every frame a public
+    connected_components call has returned. Those frames become
+    unusable (truncated lineage - the blocks ARE the data); call only
+    when done with all of them."""
+    from pyspark import SparkContext
+    with _cc_lock:
+        sc = SparkContext._active_spark_context
+        if sc is not None and _cc_returned_ids:
+            _release_rdds(sc, set(_cc_returned_ids))
+        _cc_returned_ids.clear()
+
+
+def _connected_components_locked(pairs: DataFrame, a_col: str,
+                                 b_col: str, max_iter: int):
+    """Body of connected_components. Caller MUST hold `_cc_lock`.
+
+    Returns (labels frame with columns (_n, _l), persistent-RDD ids of
+    the final round's localCheckpoint blocks) so internal callers
+    (dedup_survivors) can release the label blocks once they have
+    derived + materialized what they need from them.
     """
     global _last_cc_rounds
     sc = pairs.sparkSession.sparkContext
@@ -539,13 +594,34 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
     finally:
         _release_rdds(sc, sym_ids)
         _last_cc_rounds = rounds
-    return labels.select(F.col("_n").alias(id_out),
-                         F.col("_l").alias(comp_out))
+    return labels, live_ids
+
+
+# Drop-list checkpoint blocks pinned by the last dedup_survivors call
+# (bounded-cache contract: released automatically at the next call, or
+# explicitly via release_survivors_state). Which anti-join path the
+# last call took ("broadcast" | "shuffle") - test/bench observability.
+_survivors_live_ids: set = set()
+_last_survivors_path: str | None = None
+
+
+def release_survivors_state() -> None:
+    """Releases the materialized drop-list blocks held by the last
+    dedup_survivors call. The RETURNED survivors frame depends on those
+    blocks (truncated lineage), so call this only when done with it -
+    or let the next dedup_survivors call reclaim them."""
+    from pyspark import SparkContext
+    with _cc_lock:
+        sc = SparkContext._active_spark_context
+        if sc is not None and _survivors_live_ids:
+            _release_rdds(sc, set(_survivors_live_ids))
+        _survivors_live_ids.clear()
 
 
 def dedup_survivors(docs: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id", a_col: str = "a",
-                    b_col: str = "b", max_iter: int = 50) -> DataFrame:
+                    b_col: str = "b", max_iter: int = 50,
+                    broadcast_max_rows: int = 1_000_000) -> DataFrame:
     """The corpus-level dedup deliverable: the FILTERED corpus.
 
     pairs -> connected components -> drop every doc that belongs to a
@@ -555,17 +631,44 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
     its skip-existing export filter, export_rasters.py:444-446); the
     pair/cluster operators above are its building blocks.
 
-    Plan shape at 10^12 docs: the drop list is derived from the pair
-    graph (the tiny relation - near-dup members only), so the
-    anti-join broadcasts it and the corpus streams through one scan
-    with zero shuffles. Returns docs' full rows, survivors only.
+    Plan shape at 10^12 docs: the drop list is counted first (cheap -
+    one agg over the already-materialized component labels) and the
+    anti-join strategy is GATED on that count. Web-scale corpora
+    commonly shed 20-50% of docs to near-dup filtering, so at 10^12
+    docs the drop list is 10^11 ids - forcing a broadcast there OOMs
+    every executor. Under `broadcast_max_rows` (default 10^6 ids,
+    ~tens of MB hashed) the corpus streams through one scan with zero
+    shuffles (broadcast anti-join); above it the join is left to AQE
+    (shuffled anti-join, or a runtime broadcast if statistics allow).
+    The drop list itself is localCheckpointed either way, so the
+    component labels' blocks are released before returning (the drop
+    list is strictly smaller: one column, non-canonical members only);
+    the drop blocks are reclaimed at the next call or via
+    release_survivors_state(). Returns docs' full rows, survivors
+    only.
     """
-    comp = connected_components(pairs, a_col, b_col,
-                                max_iter=max_iter)
-    drop = comp.filter(F.col("id") != F.col("component")) \
-        .select(F.col("id").alias(id_col))
-    out = docs.join(F.broadcast(drop), id_col, "left_anti")
-    return out
+    global _last_survivors_path
+    sc = docs.sparkSession.sparkContext
+    release_survivors_state()  # previous call's drop-list blocks
+    with _cc_lock:
+        comp, label_ids = _connected_components_locked(
+            pairs, a_col, b_col, max_iter)
+        before = _persistent_rdd_ids(sc)
+        drop = (comp.filter(F.col("_n") != F.col("_l"))
+                .select(F.col("_n").alias(id_col))
+                .localCheckpoint(eager=False))
+        # ONE job materializes the lazy checkpoint AND counts it (the
+        # gate statistic) - same fold-the-action trick as the CC loop.
+        n_drop = int(drop.count())
+        _survivors_live_ids.update(_persistent_rdd_ids(sc) - before)
+        # labels are no longer referenced by anything: the drop list is
+        # materialized. Release them here, not at session end.
+        _release_rdds(sc, label_ids)
+    if n_drop <= broadcast_max_rows:
+        _last_survivors_path = "broadcast"
+        return docs.join(F.broadcast(drop), id_col, "left_anti")
+    _last_survivors_path = "shuffle"
+    return docs.join(drop, id_col, "left_anti")
 
 
 def simhash_udf(shingle_k: int = 2,

@@ -259,11 +259,19 @@ def ivf_build(data: DataFrame, n_centroids: int = 64,
               path: str | None = None,
               store_vectors: bool = True) -> IVFIndex:
     """Builds the IVF index: trains the coarse quantizer on a BOUNDED
-    deterministic sample (orderBy(id).limit(train_rows) - standard IVF
-    practice), then runs ONE distributed nearest-centroid assignment
-    pass over the corpus and materializes the result (the inverted
-    lists). Probes reuse the materialized lists - the corpus is never
-    re-encoded per query batch.
+    deterministic sample, then runs ONE distributed nearest-centroid
+    assignment pass over the corpus and materializes the result (the
+    inverted lists). Probes reuse the materialized lists - the corpus
+    is never re-encoded per query batch.
+
+    The sample is HASH-ordered (orderBy(xxhash64(id), id) - a
+    TakeOrdered, no full sort): ids usually correlate with crawl time
+    or content, so the first-k-ids sample a plain orderBy(id) takes
+    teaches the quantizer a biased slice and probe recall quietly
+    degrades on the rest of the distribution. Hashing the ids keeps
+    the sample deterministic AND row-order-independent (same centroids
+    however the input is partitioned or shuffled - tested) while
+    drawing uniformly across the corpus.
 
     With `path`, lists land in parquet partitioned by `_c` (survives
     the session; at 10^12 rows this is the layout that makes a probe a
@@ -273,8 +281,8 @@ def ivf_build(data: DataFrame, n_centroids: int = 64,
     makes the probe join-free; False stores bare ids (probes then
     rejoin `data`, the pre-r4 topology).
     """
-    train = (data.orderBy(data_id).limit(train_rows)
-             .select(vec_col).toPandas())
+    train = (data.orderBy(F.xxhash64(F.col(data_id)), F.col(data_id))
+             .limit(train_rows).select(vec_col).toPandas())
     centroids = spherical_kmeans(np.stack(train[vec_col].to_numpy()),
                                  n_centroids, iters, seed)
     cols = [F.col(data_id)] + \
@@ -324,28 +332,28 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
     qb = q.select(query_id,
                   F.explode(_probe_udf(index.centroids, nprobe)
                             (F.col("_qv"))).alias("_c"))
-    # Collect the (query, centroid) fan-out ONCE - it is bounded by
-    # |queries| * nprobe (the query side is small by contract; it gets
-    # broadcast below anyway) - and rebuild qb from the collected rows.
-    # This both yields the probed-centroid set for the partition filter
-    # and pins the probe-UDF evaluation to a single pass, with no
+    # Only the DISTINCT probed-centroid set crosses to the driver -
+    # bounded by n_centroids, NOT by |queries| * nprobe, so a large
+    # per-batch query frame can't OOM the driver. qb itself stays
+    # distributed: it is broadcast below, which evaluates its (cheap,
+    # query-side) probe UDF exactly once at broadcast build - no
     # persist to leak on error or to unpersist before downstream
-    # actions re-run the plan (the r4 recompute-per-action gap).
-    qb_rows = qb.collect()
-    probed = sorted({r["_c"] for r in qb_rows})
-    qb = queries.sparkSession.createDataFrame(qb_rows, qb.schema)
+    # actions re-run the plan (the r4 recompute-per-action gap). The
+    # distinct collect is the one extra evaluation, also query-sized.
+    probed = sorted(r["_c"]
+                    for r in qb.select("_c").distinct().collect())
     lists = index.lists.filter(F.col("_c").isin(probed)) \
         .withColumnRenamed(index.data_id, data_id)
     if index.vec_col is not None:
         # vectors live in the lists: candidates never leave the pruned
         # scan's partitions; the only join is vs the broadcast queries.
-        # qb MUST be hinted - it comes from createDataFrame(collected
-        # rows), which carries no size stats, and without the hint
-        # Catalyst shuffled the ENTIRE probed list set on _c (measured:
-        # 10M-row exchange, 10s of a 13s probe, skewed on hot
-        # centroids). Broadcast both small sides and the corpus side
-        # stays map-side scan->join->score; the top-k then ships only
-        # the per-partition group limit (WindowGroupLimit).
+        # qb MUST be hinted - its size estimate rides a pandas-UDF
+        # explode Catalyst can't see through, and without the hint it
+        # shuffled the ENTIRE probed list set on _c (measured: 10M-row
+        # exchange, 10s of a 13s probe, skewed on hot centroids).
+        # Broadcast both small sides and the corpus side stays
+        # map-side scan->join->score; the top-k then ships only the
+        # per-partition group limit (WindowGroupLimit).
         # list-side norm in the scan project: once per LIST row, not
         # once per (list row x probing query) candidate.
         cand = (lists.withColumnRenamed(index.vec_col, "_dv")

@@ -220,6 +220,20 @@ def generate_examples(docs: DataFrame, regions: pd.DataFrame, *,
                 # no S2 encode at read time at all.
                 leaf = rb.column(pc_ix).to_numpy(zero_copy_only=False) \
                     .astype(np.int64, copy=False)
+                # parent()'s lsb trick only goes COARSER: a stored cell
+                # coarser than either consumer level would yield a
+                # malformed finer id - and silently wrong join cells /
+                # md5 split buckets. Enforce the docstring contract at
+                # runtime (one vectorized min per Arrow batch, ~free).
+                need = max(cell_level, split_level)
+                have = int(s2.level_of(leaf).min())
+                if have < need:
+                    raise RuntimeError(
+                        f"precomputed_cell column {precomputed_cell!r} "
+                        f"holds level-{have} cells but generate_examples"
+                        f" needs level >= {need} (max of cell_level="
+                        f"{cell_level}, split_level={split_level}); "
+                        f"re-encode or store a finer cell")
             else:
                 # ONE leaf encode serves both levels (parent = bit math).
                 leaf = s2.latlon_to_cell_id(la, lo)

@@ -77,7 +77,7 @@ def write_cell_clustered(df: DataFrame, path: str, *, level: int = 12,
 
 
 def read_cells(spark: SparkSession, path: str, cells_p: list[int],
-               rebalance: int | None = None) -> DataFrame:
+               rebalance: int | str | None = None) -> DataFrame:
     """Scan restricted to the given coarse cells: the predicate is a
     partition filter (directory pruning), and any further fine-cell
     predicate the caller adds prunes row groups via the sorted layout.
@@ -94,8 +94,21 @@ def read_cells(spark: SparkSession, path: str, cells_p: list[int],
     trade whenever the downstream operator is compute-heavy; leave None
     for scan-dominated consumers (plain filters/aggregations), where
     the straggler is small and the shuffle is pure overhead.
+
+    `rebalance="auto"` chooses from the pruned scan's own shape so
+    kernel consumers can't silently hit the documented straggler: if
+    the pruned subset yields fewer than 2x defaultParallelism input
+    splits (too few for byte-packed hot files to even out), it
+    round-robins to 4x cores (~4 task waves - enough granularity that
+    one hot split can't cap the stage); with ample splits it leaves
+    the scan partitioning alone (the shuffle would be pure overhead).
+    The split count comes from the file listing - no job is run.
     """
     out = spark.read.parquet(path).filter(F.col("cell_p").isin(cells_p))
+    if rebalance == "auto":
+        cores = spark.sparkContext.defaultParallelism
+        npart = out.rdd.getNumPartitions()
+        rebalance = 4 * cores if npart < 2 * cores else None
     if rebalance:
         out = out.repartition(rebalance)
     return out
@@ -103,7 +116,9 @@ def read_cells(spark: SparkSession, path: str, cells_p: list[int],
 
 def join_points_regions_pruned(spark: SparkSession, path: str, regions,
                                *, level: int = 12, coarse_level: int = 4,
-                               index: str = "s2", **join_kw) -> DataFrame:
+                               index: str = "s2",
+                               rebalance: int | str | None = "auto",
+                               **join_kw) -> DataFrame:
     """Spatial join that only SCANS the partitions the regions touch.
 
     The region bboxes cover to COARSE cells (driver-side numpy - the
@@ -111,7 +126,10 @@ def join_points_regions_pruned(spark: SparkSession, path: str, regions,
     partition filter on the clustered table, so a city-sized ROI query
     against a planet-sized table reads a handful of directories instead
     of 100 TB. Downstream is the ordinary cell-keyed join + exact PIP
-    refine on the (already fine-cell-encoded) surviving rows.
+    refine on the (already fine-cell-encoded) surviving rows - a
+    kernel consumer, so the pruned subset defaults to the "auto"
+    rebalance gate (see read_cells; pass rebalance=None to keep the
+    raw scan partitioning).
 
     Requires `path` written by write_cell_clustered with the same
     (level, coarse_level, index). The stored fine `cell` column is
@@ -130,6 +148,7 @@ def join_points_regions_pruned(spark: SparkSession, path: str, regions,
         x0, y0, x1, y1 = geometry.polygon_bbox(ring)
         ids = mod.cover_bbox(y0, y1, x0, x1, coarse_level)
         coarse.update(int(c) for c in np.asarray(ids).astype(np.int64))
-    pts = read_cells(spark, path, sorted(coarse)).drop("cell_p")
+    pts = read_cells(spark, path, sorted(coarse),
+                     rebalance=rebalance).drop("cell_p")
     return sj.join_points_regions(pts, regions, level=level, index=index,
                                   precomputed_cell="cell", **join_kw)

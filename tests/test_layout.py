@@ -162,3 +162,48 @@ def test_clustered_flagship_matches_flat(spark, tmp_path):
         flat.sort_values(key).reset_index(drop=True),
         clus.sort_values(key).reset_index(drop=True))
     assert len(flat) > 0
+
+
+def test_precomputed_cell_too_coarse_raises(spark, tmp_path):
+    # parent()'s lsb trick only goes coarser: a stored cell COARSER
+    # than max(cell_level, split_level) would silently corrupt join
+    # cells and split buckets. The kernel must refuse it at runtime.
+    import pandas as pd
+    from pyspark.errors import PythonException
+
+    from geeflow_spark.plans import generate
+    from geeflow_spark.sources import synth
+
+    p = str(tmp_path / "flag_coarse")
+    docs = derived.with_geo(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")) \
+        .select("doc_id", "lat", "lon")
+    # level 6 < max(cell_level=8, split_level=9) -> contract violation
+    layout.write_cell_clustered(docs, p, level=6, coarse_level=4)
+    regions = synth.regions_pdf(8, radius_scale=2.0)
+    cdocs = spark.read.parquet(p).drop("cell_p")
+    with pytest.raises(PythonException, match="level-6.*level >= 9"):
+        generate.generate_examples(cdocs, regions, cell_level=8,
+                                   precomputed_cell="cell") \
+            .write.format("noop").mode("overwrite").save()
+
+
+def test_read_cells_auto_rebalance(spark, tmp_path):
+    # "auto" must round-robin a thin pruned subset (< 2x cores input
+    # splits) to 4x cores, and must leave the scan partitioning alone
+    # when asked not to (None). Pruned rows identical either way.
+    p = str(tmp_path / "auto_rb")
+    docs = derived.with_geo(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")) \
+        .select("doc_id", "lat", "lon")
+    layout.write_cell_clustered(docs, p, level=10, coarse_level=4)
+    cells = sorted(r["cell_p"] for r in
+                   spark.read.parquet(p).select("cell_p")
+                   .distinct().collect())[:3]
+    cores = spark.sparkContext.defaultParallelism
+    raw = layout.read_cells(spark, p, cells, rebalance=None)
+    assert raw.rdd.getNumPartitions() < 2 * cores  # thin by design
+    auto = layout.read_cells(spark, p, cells, rebalance="auto")
+    assert auto.rdd.getNumPartitions() == 4 * cores
+    assert sorted(r["doc_id"] for r in auto.collect()) \
+        == sorted(r["doc_id"] for r in raw.collect())

@@ -341,6 +341,40 @@ def test_dedup_survivors(spark):
     out = dedup.dedup_survivors(docs, pairs).toPandas()
     assert sorted(out["doc_id"]) == [1, 4, 5, 7]
     assert list(out.columns) == ["doc_id", "text"]
+    assert dedup._last_survivors_path == "broadcast"
+    dedup.release_survivors_state()
+
+
+def test_dedup_survivors_broadcast_gate(spark):
+    # Majority-duplicate corpus (the web-scale regime the gate exists
+    # for): 300 docs in 100 chains of 3 -> 200 dropped. With the
+    # threshold below the drop count the anti-join must NOT be forced
+    # to broadcast (AQE plans it); survivors must be identical on both
+    # paths, and neither path may leak drop-list blocks after
+    # release_survivors_state().
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    docs = spark.range(300).withColumnRenamed("id", "doc_id")
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"a": [3 * i + j for i in range(100) for j in (0, 1)],
+         "b": [3 * i + j for i in range(100) for j in (1, 2)]}))
+    before = dedup._persistent_rdd_ids(sc)
+
+    forced = dedup.dedup_survivors(docs, pairs, broadcast_max_rows=50)
+    got_shuffle = sorted(r["doc_id"] for r in forced.collect())
+    assert dedup._last_survivors_path == "shuffle"
+    # the forced path's logical plan carries no broadcast hint
+    assert "broadcast" not in forced._jdf.queryExecution() \
+        .logical().toString().lower()
+
+    bcast = dedup.dedup_survivors(docs, pairs, broadcast_max_rows=10**6)
+    got_bcast = sorted(r["doc_id"] for r in bcast.collect())
+    assert dedup._last_survivors_path == "broadcast"
+
+    expect = sorted(3 * i for i in range(100))
+    assert got_shuffle == got_bcast == expect
+    dedup.release_survivors_state()
+    assert not (dedup._persistent_rdd_ids(sc) - before)
 
 
 def test_block_combo_masks_properties():
@@ -442,6 +476,22 @@ def test_ivf_partial_probe_recall(spark):
     pd.testing.assert_frame_equal(
         got.sort_values(["query_id", "rank"]).reset_index(drop=True),
         got2.sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def test_ivf_train_sample_order_independent(spark):
+    # The quantizer trains on a hash-ordered sample: shuffling /
+    # repartitioning the input must not change the centroids (a
+    # first-k-ids sample would be stable too, but biased toward
+    # id-correlated content; hash order is both uniform AND stable).
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    shuffled = emb.orderBy(F.col("vec_id").desc()).repartition(7)
+    a = similarity.ivf_build(emb, n_centroids=8, train_rows=256)
+    b = similarity.ivf_build(shuffled, n_centroids=8, train_rows=256)
+    try:
+        np.testing.assert_array_equal(a.centroids, b.centroids)
+    finally:
+        a.release()
+        b.release()
 
 
 def test_ivf_build_probe_reuse(spark, tmp_path, monkeypatch):
