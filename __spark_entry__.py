@@ -390,12 +390,19 @@ def _q_dedup_components(spark, sf_dir):
 def _q_dedup_survivors(spark, sf_dir):
     # The corpus-level dedup deliverable: pairs -> components -> the
     # FILTERED corpus (drop non-canonical members; docs in no pair
-    # pass through). Oracle: the recursive-CTE closure (as in
-    # dedup_components) feeding a NOT-IN filter over documents - both
-    # edges and closure independently recomputed by DuckDB.
+    # pass through). r6: the pair stage is the PRODUCTION scale path
+    # (banded minhash + exact-Jaccard verify, the dedup_minhash_pairs
+    # recipe) instead of the labeled all-pairs oracle path - the
+    # all-pairs stage made the battery wall quadratic-by-design
+    # (18.5s of a 40s battery at sf0.1) while measuring nothing about
+    # the survivors operator itself. Oracle: the recursive-CTE closure
+    # over EXACT all-pairs Jaccard >= 0.6 feeding a NOT-IN filter over
+    # documents - edges and closure independently recomputed by
+    # DuckDB, so the row ALSO re-proves banding recall 1.0 at the
+    # gate corpus (same argument as dedup_minhash_pairs).
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = dedup.ngram_jaccard_pairs(
-        d, threshold=0.5, shingle_k=3,
+    pairs = dedup.minhash_duplicate_pairs(
+        d, num_perm=64, bands=16, verify_jaccard=0.6,
         spread=spark.sparkContext.defaultParallelism)
     out = dedup.dedup_survivors(d, pairs)
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
@@ -1116,10 +1123,14 @@ def oracle_sql() -> dict[str, str]:
           FROM reach GROUP BY n
         """,
         # survivors = documents minus non-canonical component members;
-        # closure + edges recomputed exactly as in dedup_components.
+        # closure recomputed as in dedup_components, but the edge set
+        # is EXACT all-pairs Jaccard >= 0.6 - the truth the Spark
+        # side's production minhash+verify pair stage must equal (the
+        # dedup_minhash_pairs recall argument, re-proven here through
+        # the closure).
         "dedup_survivors": f"""
           WITH RECURSIVE e AS MATERIALIZED (
-            SELECT a, b FROM ({_ngram_jaccard_oracle(3, 0.5)})
+            SELECT a, b FROM ({_ngram_jaccard_oracle(3, 0.6)})
           ),
           sym AS MATERIALIZED (
             SELECT a AS s, b AS d FROM e

@@ -76,6 +76,14 @@ def write_cell_clustered(df: DataFrame, path: str, *, level: int = 12,
         .write.mode(mode).partitionBy("cell_p").parquet(path))
 
 
+# Pruned subsets smaller than this skip the "auto" rebalance: below it
+# the hottest possible straggler is sub-second, while the shuffle +
+# 4x-cores task waves cost ~2s of fixed overhead (measured at sf0.1).
+# At/above it (multi-GB pruned covers - the 100M-doc SF1 case) the
+# straggler dominates and the round-robin pays for itself.
+AUTO_REBALANCE_MIN_BYTES = 256 << 20
+
+
 def read_cells(spark: SparkSession, path: str, cells_p: list[int],
                rebalance: int | str | None = None) -> DataFrame:
     """Scan restricted to the given coarse cells: the predicate is a
@@ -96,19 +104,26 @@ def read_cells(spark: SparkSession, path: str, cells_p: list[int],
     the straggler is small and the shuffle is pure overhead.
 
     `rebalance="auto"` chooses from the pruned scan's own shape so
-    kernel consumers can't silently hit the documented straggler: if
-    the pruned subset yields fewer than 2x defaultParallelism input
-    splits (too few for byte-packed hot files to even out), it
-    round-robins to 4x cores (~4 task waves - enough granularity that
-    one hot split can't cap the stage); with ample splits it leaves
-    the scan partitioning alone (the shuffle would be pure overhead).
-    The split count comes from the file listing - no job is run.
+    kernel consumers can't silently hit the documented straggler: when
+    the pruned subset is big enough for stragglers to matter (>=
+    AUTO_REBALANCE_MIN_BYTES by the optimizer's file statistics) but
+    yields fewer than 2x defaultParallelism input splits (too few for
+    byte-packed hot files to even out), it round-robins to 4x cores
+    (~4 task waves - enough granularity that one hot split can't cap
+    the stage). Below the byte floor the shuffle + extra task waves
+    are pure overhead (measured ~2x slowdown on a 5000-row table);
+    with ample splits the scan partitioning already suffices. Both
+    statistics are driver-side (file listing) - no job is run.
     """
     out = spark.read.parquet(path).filter(F.col("cell_p").isin(cells_p))
     if rebalance == "auto":
-        cores = spark.sparkContext.defaultParallelism
-        npart = out.rdd.getNumPartitions()
-        rebalance = 4 * cores if npart < 2 * cores else None
+        rebalance = None
+        size = int(out._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        if size >= AUTO_REBALANCE_MIN_BYTES:
+            cores = spark.sparkContext.defaultParallelism
+            if out.rdd.getNumPartitions() < 2 * cores:
+                rebalance = 4 * cores
     if rebalance:
         out = out.repartition(rebalance)
     return out

@@ -188,10 +188,11 @@ def test_precomputed_cell_too_coarse_raises(spark, tmp_path):
             .write.format("noop").mode("overwrite").save()
 
 
-def test_read_cells_auto_rebalance(spark, tmp_path):
+def test_read_cells_auto_rebalance(spark, tmp_path, monkeypatch):
     # "auto" must round-robin a thin pruned subset (< 2x cores input
-    # splits) to 4x cores, and must leave the scan partitioning alone
-    # when asked not to (None). Pruned rows identical either way.
+    # splits) to 4x cores when the subset clears the byte floor, and
+    # must SKIP the shuffle below the floor (measured pure overhead on
+    # small tables). Pruned rows identical either way.
     p = str(tmp_path / "auto_rb")
     docs = derived.with_geo(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet")) \
@@ -203,6 +204,11 @@ def test_read_cells_auto_rebalance(spark, tmp_path):
     cores = spark.sparkContext.defaultParallelism
     raw = layout.read_cells(spark, p, cells, rebalance=None)
     assert raw.rdd.getNumPartitions() < 2 * cores  # thin by design
+    # tiny subset: under the byte floor -> no shuffle inserted
+    small = layout.read_cells(spark, p, cells, rebalance="auto")
+    assert small.rdd.getNumPartitions() == raw.rdd.getNumPartitions()
+    # floor lowered: the thin-but-heavy case -> 4x cores round-robin
+    monkeypatch.setattr(layout, "AUTO_REBALANCE_MIN_BYTES", 1)
     auto = layout.read_cells(spark, p, cells, rebalance="auto")
     assert auto.rdd.getNumPartitions() == 4 * cores
     assert sorted(r["doc_id"] for r in auto.collect()) \

@@ -138,3 +138,75 @@ def test_stream_seen_counts_stateful(spark, tmp_path):
     top = got.sort_values("n_seen").iloc[-1]
     assert top["n_seen"] == 4
     assert pd.Timestamp(top["first_ts"]) == ts
+
+
+def test_stream_near_dup_survivors_cross_batch(spark, tmp_path):
+    # Near-dup SURVIVORS on a stream: planted dup chains SPAN batch
+    # boundaries (a late doc must join the component of docs from
+    # earlier micro-batches and drop), and the streamed survivor set
+    # must equal the batch pairs -> components -> survivors answer
+    # over the union of all batches (arrival in id order, so
+    # first-arrival-wins == min-id-canonical).
+    import numpy as np
+    import pandas as pd
+
+    from geeflow_spark.operators import dedup
+    from geeflow_spark.streaming import survivors_stream
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(400)]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(30)]
+    texts = {f"doc{i:04d}": base[i] for i in range(30)}
+    # cross-batch chains: batch2's doc0031 copies batch1's doc0003;
+    # batch3's doc0052 copies doc0031 (transitive closure reaches the
+    # batch-1 canonical through a DROPPED batch-2 member); one near
+    # copy (single token changed -> hamming small) inside batch 3.
+    fresh = [" ".join(rng.choice(vocab, 30)) for _ in range(8)]
+    for j, i in enumerate((32, 33, 34, 35, 51, 53, 56, 57)):
+        texts[f"doc{i:04d}"] = fresh[j]
+    texts["doc0031"] = texts["doc0003"]
+    texts["doc0052"] = texts["doc0031"]
+    texts["doc0047"] = texts["doc0010"]
+    # one exact within-batch-3 pair too (fresh component, min-id wins)
+    texts["doc0055"] = texts["doc0051"]
+    ids = sorted(texts)
+    batches = [ids[:30],
+               [i for i in ids if "doc0030" <= i < "doc0050"],
+               [i for i in ids if i >= "doc0050"]]
+
+    land = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    params = dict(shingle_k=2, blocks=6, block_t=3, max_hamming=3)
+
+    schema = None
+    for b in batches:
+        pdf = pd.DataFrame({"doc_id": b, "text": [texts[i] for i in b]})
+        df = spark.createDataFrame(pdf)
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(land)
+        q = survivors_stream.start_survivors_stream(
+            spark.readStream.schema(schema).parquet(land),
+            state, out, ckpt, **params)
+        q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(out).select("doc_id").collect())
+    assert len(got) == len(set(got))  # exactly-once: no dup outputs
+
+    alldocs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ids, "text": [texts[i] for i in ids]}))
+    pairs = dedup.simhash_candidate_pairs(alldocs, **params)
+    exp = sorted(r["doc_id"] for r in
+                 dedup.dedup_survivors(alldocs, pairs)
+                 .select("doc_id").collect())
+    assert got == exp
+    # the planted chain really dropped its late members
+    for dropped in ("doc0031", "doc0052", "doc0047", "doc0055"):
+        assert dropped not in got
+    assert "doc0051" in got  # fresh batch-3 component keeps its min id
+    # state carries ALL seen docs' signatures (transitivity needs the
+    # dropped ones too)
+    assert spark.read.parquet(state).count() == len(ids)
+    dedup.release_survivors_state()

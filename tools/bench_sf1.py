@@ -157,8 +157,10 @@ def run(spark, n: int) -> dict:
     # splits - unbalanced, the hottest task carried ~10s of kernel CPU
     # vs a 0.25s median, capping the stage at ~4x parallelism. The
     # shuffle is proportional to the pruned subset (what pruning
-    # bought), the documented trade for compute-heavy consumers
-    # (layout.read_cells docstring).
+    # bought), the documented trade for compute-heavy consumers.
+    # r6: the rebalance choice is AUTOMATIC (read_cells "auto" gate -
+    # thin pruned subsets round-robin to 4x cores, ample ones keep the
+    # scan partitioning); the row records what the gate chose.
     def _flag_clustered():
         import numpy as np_
         from geeflow_spark.functions import geometry
@@ -180,8 +182,13 @@ def run(spark, n: int) -> dict:
             coarse.update(int(c) for c in np_.asarray(
                 INDEXES["s2"].cover_bbox(y0, y1, x0, x1, 4))
                 .astype("int64"))
-        cdocs = layout.read_cells(spark, clustered, sorted(coarse),
-                                  rebalance=64).drop("cell_p")
+        raw_parts = layout.read_cells(spark, clustered,
+                                      sorted(coarse)) \
+            .rdd.getNumPartitions()
+        cdocs_df = layout.read_cells(spark, clustered, sorted(coarse),
+                                     rebalance="auto")
+        auto_parts = cdocs_df.rdd.getNumPartitions()
+        cdocs = cdocs_df.drop("cell_p")
 
         def job(d, pc):
             ex = generate.generate_examples(d, regions, cell_level=8,
@@ -202,6 +209,10 @@ def run(spark, n: int) -> dict:
                 "layout_wall": layout_wall,
                 "rows_scanned": scanned,
                 "scan_fraction": round(scanned / pn, 4),
+                "rebalance": {"mode": "auto",
+                              "raw_partitions": raw_parts,
+                              "chosen_partitions": auto_parts,
+                              "cores": spread},
                 "flat_walls": f_walls, "clustered_walls": c_walls,
                 "speedup": round(min(f_walls) / min(c_walls), 2)}
 
@@ -252,9 +263,42 @@ def run(spark, n: int) -> dict:
                               for r in sizes},
                 "true_components": n // 1000,
                 "survivors": surv, "survivors_wall": surv_wall,
+                "anti_join_path": dedup._last_survivors_path,
+                "dropped": 2 * (n // 1000),
                 "expected_survivors": n - 2 * (n // 1000)}
 
     step("components", _cc)
+
+    # High-dup regime (the r6 broadcast-gate evidence): web corpora
+    # shed 20-50% of docs to near-dup filtering, so the survivors
+    # anti-join must NOT force a broadcast of the drop list. Planted
+    # star components over consecutive-id decades make 30% of docs
+    # non-canonical (pairs (10k, 10k+j), j=1..3); with the default
+    # 10^6-row gate the 10M corpus (3M dropped) must take the
+    # AQE-planned shuffle path, and the survivor count is exact truth.
+    def _surv_hd():
+        docs = spark.read.parquet(text_p)
+        # pairs are a pure range plan (no scan, no shuffle) - cheap to
+        # recompute, so no checkpoint needed; the timer measures the
+        # closure + anti-join, which is the operator under test.
+        pairs = (spark.range(0, n, 1, 128)
+                 .filter(F.pmod(F.col("id"), 10).isin(1, 2, 3))
+                 .select((F.col("id") - F.pmod(F.col("id"), 10))
+                         .alias("a"),
+                         F.col("id").alias("b")))
+        n_pairs = pairs.count()
+        t0 = time.monotonic()
+        surv = dedup.dedup_survivors(docs, pairs, id_col="doc_id").count()
+        wall = round(time.monotonic() - t0, 2)
+        out = {"pairs": n_pairs, "drop_rows": 3 * (n // 10),
+               "drop_fraction": 0.3, "survivors": surv,
+               "expected_survivors": n - 3 * (n // 10),
+               "anti_join_path": dedup._last_survivors_path,
+               "wall": wall}
+        dedup.release_survivors_state()
+        return out
+
+    step("survivors_highdup", _surv_hd)
 
     # simhash via Manku block-combination keys: 20 tables of ~32-bit
     # keys, guaranteed recall for hamming <= 3 - the banding that
@@ -602,7 +646,41 @@ def main() -> None:
         f"{out['big']['components'].get('survivors_wall')}s, planted "
         f"expectation {out['big']['components'].get('expected_survivors'):,} "
         f"(each trio keeps its min id; the delta is the split-trio "
-        f"tail the size distribution records).",
+        f"tail the size distribution records). Anti-join path chosen "
+        f"by the r6 size gate: "
+        f"'{out['big']['components'].get('anti_join_path')}' "
+        f"({out['big']['components'].get('dropped'):,} dropped ids - "
+        f"under the 10^6 broadcast threshold).",
+        f"- Survivors at a WEB-CORPUS duplicate rate (r6 gate "
+        f"evidence; planted decade-stars make 30% of docs "
+        f"non-canonical): "
+        f"{out['big']['survivors_highdup']['survivors']:,} of {big:,} "
+        f"kept (= the exact planted expectation "
+        f"{out['big']['survivors_highdup']['expected_survivors']:,}) "
+        f"in {out['big']['survivors_highdup']['wall']}s; drop list = "
+        f"{out['big']['survivors_highdup']['drop_rows']:,} ids, so "
+        f"the gate took the "
+        f"'{out['big']['survivors_highdup']['anti_join_path']}' path "
+        f"(AQE-planned anti-join - the forced broadcast this gate "
+        f"replaced would ship 10^11 ids per executor at 10^12 docs). "
+        f"At {small:,} the same step drops "
+        f"{out['small']['survivors_highdup']['drop_rows']:,} ids - "
+        f"UNDER the threshold - and the gate picked "
+        f"'{out['small']['survivors_highdup']['anti_join_path']}': "
+        f"both sides of the gate exercised by the same query.",
+        f"- Clustered-flagship rebalance chosen AUTOMATICALLY "
+        f"(read_cells 'auto'): at {big:,}x10 the pruned cover scan "
+        f"yields "
+        f"{out['big']['flagship_clustered']['rebalance']['raw_partitions']}"
+        f" input splits for "
+        f"{out['big']['flagship_clustered']['rebalance']['cores']} "
+        f"cores -> gate chose "
+        f"{out['big']['flagship_clustered']['rebalance']['chosen_partitions']}"
+        f" partitions; at {small:,}: "
+        f"{out['small']['flagship_clustered']['rebalance']['raw_partitions']}"
+        f" -> "
+        f"{out['small']['flagship_clustered']['rebalance']['chosen_partitions']}"
+        f".",
         "",
         "## Skew profile (big corpus, level-8 cells)",
         "",
