@@ -34,6 +34,7 @@ from geeflow_spark.functions import s2 as _s2
 from geeflow_spark.functions import utm as _utm
 from geeflow_spark.functions import text as T
 from geeflow_spark.operators import dedup, knn, similarity, spatial_join, splits, tiles
+from geeflow_spark.operators import text_metrics
 from geeflow_spark.plans import generate, layout
 from geeflow_spark.sources import catalog, derived, synth
 
@@ -319,6 +320,15 @@ def _q_text_lang_id(spark, sf_dir):
             .groupBy("lang_guess").agg(F.count("*").alias("n")))
 
 
+def _q_text_repetition(spark, sf_dir):
+    # Repetition quality signals (the Gopher-style web filters):
+    # distinct-word fraction, most-frequent-word share, duplicate-
+    # bigram fraction - all integer-count ratios, so bit-stable across
+    # partitionings and exactly replayable in SQL.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_metrics.repetition_metrics(d)
+
+
 def _q_dedup_exact(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
@@ -423,6 +433,29 @@ def _q_dedup_simhash_manku(spark, sf_dir):
         spread=spark.sparkContext.defaultParallelism)
     return out.select("a", "b", F.col("hamming").cast("long")
                       .alias("hamming"))
+
+
+def _q_dedup_spans(spark, sf_dir):
+    # Span-level (paragraph) dedup over the interleaved table: a text
+    # span is dropped iff its normalized text already occurred at a
+    # smaller (doc_id, position) ANYWHERE in the corpus; media and
+    # empty spans pass; surviving spans keep their original relative
+    # order (span_idx re-derived by posexplode, so the oracle's
+    # survivor-rank check pins order preservation too). Oracle: the
+    # span derivation replayed as in spans_explode, first-occurrence
+    # ranking recomputed by window over the normalized text itself
+    # (the operator groups by dual digest of the same key - identical
+    # up to engineered 128-bit collisions, exact_dedup's argument).
+    d = derived.with_spans(spark.read.parquet(
+        f"{sf_dir}/documents.parquet"))
+    out = dedup.span_dedup(d)
+    ex = out.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+    return ex.select("doc_id",
+                     F.col("span_idx").cast("long").alias("span_idx"),
+                     F.col("s.kind").alias("kind"),
+                     F.col("s.offset").cast("long").alias("offset"),
+                     F.coalesce(F.col("s.text"), F.col("s.media_ref"))
+                     .alias("content"))
 
 
 def _q_dedup_embedding(spark, sf_dir):
@@ -649,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_text_token_counts,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
+        "text_repetition": _q_text_repetition,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_pairs": _q_dedup_minhash,
         "dedup_simhash_pairs": _q_dedup_simhash,
@@ -656,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
+        "dedup_spans": _q_dedup_spans,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
@@ -1225,6 +1260,83 @@ def oracle_sql() -> dict[str, str]:
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
                    AS norm
           FROM embeddings
+        """,
+        # span-level dedup: the derivation of spans_explode, then
+        # first-occurrence ranking by normalized span text (window
+        # over (doc_id, pos)); media/empty spans bypass the ranking;
+        # span_idx recomputed as the survivor rank inside each doc so
+        # the row also checks order preservation.
+        "dedup_spans": r"""
+          WITH base AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+            FROM documents),
+          s AS (
+            SELECT doc_id, g.range AS pos, words
+            FROM base, range(0, 4) g),
+          exp AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos % 2 = 0 THEN 'text' ELSE 'media' END
+                     AS kind,
+                   CAST(pos * 32 + doc_id % 7 AS BIGINT) AS offset,
+                   CASE WHEN pos % 2 = 0 THEN
+                     array_to_string(words[CAST(pos*2+1 AS INT):
+                                           CAST(pos*2+2 AS INT)], ' ')
+                   ELSE 'media/' || CAST(doc_id AS VARCHAR) || '/'
+                        || CAST(pos AS VARCHAR) END AS content
+            FROM s),
+          k AS (
+            SELECT *,
+                   CASE WHEN kind = 'text' AND length(trim(content)) > 0
+                        THEN lower(trim(regexp_replace(content,
+                                                       '\s+', ' ', 'g')))
+                   END AS nk
+            FROM exp),
+          r AS (
+            SELECT *,
+                   CASE WHEN nk IS NULL THEN 1
+                        ELSE row_number() OVER (PARTITION BY nk
+                                                ORDER BY doc_id, pos)
+                   END AS rn
+            FROM k)
+          SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY pos) - 1 AS BIGINT)
+                   AS span_idx,
+                 kind, r."offset" AS offset, content
+          FROM r WHERE rn = 1
+        """,
+        # repetition metrics: integer-count ratios recomputed from the
+        # same lowercase whitespace tokenization (unnest + group for
+        # the top-word share, list functions for the array-shape
+        # metrics), rounded identically.
+        "text_repetition": r"""
+          WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents
+            WHERE text IS NOT NULL AND length(trim(text)) > 0),
+          ex AS (SELECT doc_id, unnest(ws) AS word FROM w),
+          wc AS (SELECT doc_id, word, count(*) AS c
+                 FROM ex GROUP BY doc_id, word),
+          top AS (SELECT doc_id, max(c) AS topc FROM wc GROUP BY doc_id),
+          shape AS (
+            SELECT doc_id, len(ws) AS n,
+                   len(list_distinct(ws)) AS nd,
+                   CASE WHEN len(ws) >= 2 THEN
+                     list_transform(range(2, len(ws) + 1),
+                                    i -> ws[i-1] || ' ' || ws[i])
+                   ELSE [] END AS bgs
+            FROM w)
+          SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_words,
+                 ROUND(s.nd / CAST(s.n AS DOUBLE), 6)
+                   AS distinct_word_frac,
+                 ROUND(t.topc / CAST(s.n AS DOUBLE), 6)
+                   AS top_word_frac,
+                 ROUND(CASE WHEN len(s.bgs) > 0 THEN
+                         1.0 - len(list_distinct(s.bgs))
+                               / CAST(len(s.bgs) AS DOUBLE)
+                       ELSE 0.0 END, 6) AS dup_bigram_frac
+          FROM shape s JOIN top t ON s.doc_id = t.doc_id
         """,
         "spans_explode": r"""
           WITH base AS (

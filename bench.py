@@ -98,10 +98,10 @@ def run_queries(sf_dir: str) -> dict:
         "geo_knn", "geo_cell_counts", "geo_cell_counts_hex",
         "rel_q1_pricing", "rel_q3_revenue", "rel_topk_window",
         "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
-        "dedup_simhash_manku", "dedup_survivors",
+        "dedup_simhash_manku", "dedup_survivors", "dedup_spans",
         "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk",
         "sim_lsh_pruned",
-        "text_token_counts",
+        "text_token_counts", "text_repetition",
         "spans_explode", "src_s2_cloudfree_mosaic",
         "src_s2_quality_mosaic",
     ]

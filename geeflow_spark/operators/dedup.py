@@ -292,6 +292,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     return keyed.join(w_min, [*kcols, id_col], "inner").drop(*kcols)
 
 
+def span_dedup(df: DataFrame, spans_col: str = "spans",
+               id_col: str = "doc_id", normalize: bool = True,
+               key_fns: Sequence[Callable[[Column], Column]] | None = None,
+               ) -> DataFrame:
+    """Corpus-global exact dedup of interleaved TEXT spans (paragraph
+    dedup): within each document's span array, a text span is dropped
+    iff the same normalized text already occurred at a smaller
+    (doc_id, position) anywhere in the corpus. The first occurrence
+    survives; media spans (kind != 'text') and empty/null text spans
+    always pass; surviving spans keep their original relative order and
+    offsets (the BASELINE.json span-sequence invariant). Same schema
+    out as in.
+
+    This is the span-level sibling of exact_dedup: web pipelines over
+    interleaved documents dedup boilerplate at the PARAGRAPH level
+    (headers, navboxes, license blocks recur across pages whose full
+    texts differ), where whole-doc dedup sees nothing.
+
+    Plan shape at 10^12 docs: the shuffle never carries span text -
+    text spans reduce to (doc_id, pos, 40 bytes of dual digest), the
+    winner per digest pair comes from one partial-aggregated min, and
+    only the DROPPED positions (duplicate spans) flow back to the
+    documents, grouped to one short array per affected doc. The final
+    join is AQE-planned (no forced broadcast: at real boilerplate
+    rates most docs ARE affected). Collision safety = exact_dedup's
+    argument: two independent digests, spurious merges ~2^-128.
+    `key_fns` is injectable the same way, so tests can force a
+    first-digest collision and assert both spans survive.
+    """
+    if key_fns is None:
+        key_fns = (F.xxhash64, lambda c: F.sha2(c, 256))
+    s = F.col("_s")
+    txt = s.getField("text")
+    norm = F.lower(F.trim(F.regexp_replace(txt, r"\s+", " "))) \
+        if normalize else txt
+    ex = df.select(F.col(id_col),
+                   F.posexplode(spans_col).alias("_pos", "_s"))
+    keyed = (ex.filter((s.getField("kind") == "text")
+                       & txt.isNotNull() & (F.length(F.trim(txt)) > 0))
+             .select(id_col, "_pos",
+                     *[fn(norm).alias(f"_k{i}")
+                       for i, fn in enumerate(key_fns)]))
+    kcols = [f"_k{i}" for i in range(len(key_fns))]
+    winners = keyed.groupBy(*kcols).agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("_pos").alias("p"))).alias("_w"))
+    dropped = (keyed.join(winners, kcols)
+               .filter((F.col(id_col) != F.col("_w.i"))
+                       | (F.col("_pos") != F.col("_w.p")))
+               .groupBy(id_col)
+               .agg(F.collect_set("_pos").alias("_drop")))
+    out = df.join(dropped, id_col, "left")
+    kept = F.when(F.col("_drop").isNull(), F.col(spans_col)).otherwise(
+        F.filter(F.col(spans_col),
+                 lambda sp, i: ~F.array_contains(F.col("_drop"), i)))
+    return out.withColumn(spans_col, kept).drop("_drop")
+
+
 def _spread(df: DataFrame, n: int | None) -> DataFrame:
     """Widens an under-partitioned input to `n` partitions before a
     CPU-heavy signature stage. Only ever INCREASES parallelism: inputs

@@ -1,0 +1,87 @@
+"""Per-document repetition metrics for web-corpus quality filtering.
+
+The repetition family of quality signals (duplicate-word and
+duplicate-n-gram fractions, most-frequent-term share) is the standard
+web-pipeline filter for machine-generated / boilerplate pages whose
+length and punctuation look fine but whose content loops. These are
+DataFrame-level operators (they need a per-(doc, term) aggregation),
+complementing the per-row Column functions in functions/text.py.
+
+Not in the reference (an LLM-data-pipeline extension, like
+functions/text.py); the closest reference analog is the corpus-level
+counter statistics (utils/stats.py CounterAccumulator), which count
+values per COLUMN, not terms per DOCUMENT.
+
+Scale design (100 TB lens): everything is JVM-side.
+
+- Array-shape metrics (word count, distinct-word fraction,
+  duplicate-bigram fraction) are computed per ROW with higher-order
+  array functions - zero shuffle, whole-stage codegen.
+- The most-frequent-word share needs per-(doc, word) counts: one
+  explode feeding a two-stage aggregation - groupBy(doc, word) then
+  groupBy(doc) - both with map-side partial aggregation, so the wide
+  shuffle carries (doc_id, word-hash-partitioned) count rows, not
+  text. The final assembly joins on doc_id where the aggregated side
+  is already hash-partitioned by doc_id (no extra exchange on that
+  side under AQE).
+
+Determinism: every metric is a ratio of integer counts (never a
+float-sum over reorderable partials), so results are bit-stable across
+partitionings and replayable exactly in ANSI SQL - ties in the
+most-frequent word don't matter because the metric uses the count,
+not the word.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(id_col, n_words, distinct_word_frac, top_word_frac,
+    dup_bigram_frac) per document, all ratios rounded to 6 places.
+
+    - n_words: whitespace tokens of the lowercased, trimmed text.
+    - distinct_word_frac: |distinct words| / n_words (1.0 = no
+      repetition; Gopher-style filters drop docs far below ~0.5).
+    - top_word_frac: occurrences of the most frequent word / n_words.
+    - dup_bigram_frac: 1 - |distinct word bigrams| / (n_words - 1);
+      0.0 when the doc has fewer than 2 words.
+
+    Rows whose text is NULL or whitespace-only are dropped (no tokens
+    -> no defined ratios); upstream length filters remove them anyway.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = (df.filter(F.col(text_col).isNotNull()
+                      & (F.length(F.trim(F.col(text_col))) > 0))
+            .select(id_col, words.alias("_w")))
+    # Bigrams via index arithmetic (arr[i] is 0-based in Spark SQL);
+    # sequence() runs DESCENDING when start > stop, so the n < 2 case
+    # must be gated, not left to an "empty" sequence.
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.expr("transform(sequence(1, size(_w) - 1), "
+               "i -> concat(_w[i-1], ' ', _w[i]))")
+    ).otherwise(F.array().cast("array<string>"))
+    shape = base.select(
+        id_col,
+        F.size("_w").alias("_n"),
+        F.size(F.array_distinct("_w")).alias("_nd"),
+        F.size(bigrams).alias("_nb"),
+        F.size(F.array_distinct(bigrams)).alias("_nbd"))
+    top = (base.select(id_col, F.explode("_w").alias("_word"))
+           .groupBy(id_col, "_word").agg(F.count("*").alias("_c"))
+           .groupBy(id_col).agg(F.max("_c").alias("_top")))
+    return (shape.join(top, id_col)
+            .select(id_col,
+                    F.col("_n").cast("long").alias("n_words"),
+                    F.round(F.col("_nd") / F.col("_n"), 6)
+                    .alias("distinct_word_frac"),
+                    F.round(F.col("_top") / F.col("_n"), 6)
+                    .alias("top_word_frac"),
+                    F.round(F.when(F.col("_nb") > 0,
+                                   1.0 - F.col("_nbd") / F.col("_nb"))
+                            .otherwise(F.lit(0.0)), 6)
+                    .alias("dup_bigram_frac")))

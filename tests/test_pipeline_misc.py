@@ -527,3 +527,76 @@ def test_ivf_build_probe_reuse(spark, tmp_path, monkeypatch):
     plan = similarity.ivf_probe(q, idx, emb, k=2, nprobe=2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]", plan), plan
+
+
+_SPAN_SCHEMA = ("doc_id long, spans array<struct<"
+                "kind:string,text:string,media_ref:string,offset:int>>")
+
+
+def _span_docs(spark):
+    rows = [
+        (1, [("text", "Common Header", None, 0),
+             ("media", None, "m/1/1", 32),
+             ("text", "unique A", None, 64),
+             ("text", "common  header", None, 96)]),   # within-doc dup
+        (2, [("text", "COMMON HEADER ", None, 3),      # cross-doc dup
+             ("text", "unique B", None, 35),
+             ("text", "", None, 67)]),                 # empty: bypasses
+        (3, [("media", None, "m/3/0", 5)]),
+    ]
+    return spark.createDataFrame(rows, _SPAN_SCHEMA)
+
+
+def test_span_dedup(spark):
+    docs = _span_docs(spark)
+    out = dedup.span_dedup(docs)
+    assert out.schema == docs.schema  # same shape out as in
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                          s["offset"]) for s in r["spans"]]
+           for r in out.collect()}
+    # doc 1: within-doc dup at pos 3 dropped; order + offsets intact
+    assert got[1] == [("text", "Common Header", None, 0),
+                      ("media", None, "m/1/1", 32),
+                      ("text", "unique A", None, 64)]
+    # doc 2: cross-doc dup (pos 0, normalized equal to doc 1 pos 0)
+    # dropped; empty-text span bypasses dedup
+    assert got[2] == [("text", "unique B", None, 35),
+                      ("text", "", None, 67)]
+    # doc 3: media only, untouched
+    assert got[3] == [("media", None, "m/3/0", 5)]
+
+
+def test_span_dedup_collision_safe(spark):
+    # Constant first digest: the second independent digest must keep
+    # DISTINCT span texts apart (exact_dedup's collision contract).
+    docs = _span_docs(spark)
+    out = dedup.span_dedup(
+        docs, key_fns=[lambda c: F.lit(0), lambda c: F.sha2(c, 256)])
+    kept = {(r["doc_id"], s["offset"])
+            for r in out.collect() for s in r["spans"]}
+    # "unique A" and "unique B" both survive despite colliding k0
+    assert (1, 64) in kept and (2, 35) in kept
+
+
+def test_repetition_metrics(spark):
+    from geeflow_spark.operators import text_metrics
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["A a b", "x x x x", "solo", "   ", None],
+    })
+    out = (text_metrics.repetition_metrics(spark.createDataFrame(pdf))
+           .toPandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [1, 2, 3]  # blank/null rows dropped
+    # doc 1: words [a, a, b] (case-folded)
+    assert out.loc[1, "n_words"] == 3
+    assert out.loc[1, "distinct_word_frac"] == round(2 / 3, 6)
+    assert out.loc[1, "top_word_frac"] == round(2 / 3, 6)
+    assert out.loc[1, "dup_bigram_frac"] == 0.0   # "a a" != "a b"
+    # doc 2: pure repetition
+    assert out.loc[2, "n_words"] == 4
+    assert out.loc[2, "distinct_word_frac"] == 0.25
+    assert out.loc[2, "top_word_frac"] == 1.0
+    assert out.loc[2, "dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    # doc 3: single word - no bigrams, frac pinned to 0
+    assert out.loc[3, "n_words"] == 1
+    assert out.loc[3, "dup_bigram_frac"] == 0.0
