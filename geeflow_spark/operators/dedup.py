@@ -814,6 +814,83 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
             .select("a", "b", "jaccard"))
 
 
+def containment_pairs(df: DataFrame, threshold: float = 0.5,
+                      window: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_postings: int = 4096,
+                      spread: int | None = None) -> DataFrame:
+    """Directional CONTAINMENT pairs (a, b, containment): the fraction
+    of doc a's distinct rolling word-window fingerprints
+    (functions/text.rolling_fingerprints - the winnowing-style shingle
+    fingerprint set) that also occur in doc b, for every ordered pair
+    with containment >= threshold.
+
+    This is the dedup signal symmetric Jaccard structurally misses: a
+    short document quoted whole inside a long one has near-1.0
+    containment but tiny Jaccard (the union is dominated by the long
+    doc). Web pipelines use it to drop wrapper/quotation copies after
+    near-dup filtering.
+
+    Plan shape at 10^12 docs: an inverted-index BUCKET pipeline, not a
+    self-join and not an all-pairs scan - per-doc DISTINCT fingerprints
+    explode into (fingerprint, id, n_fp) postings, ONE pass (a
+    fingerprint self-join would rescan + re-explode the corpus for
+    both aliases - measured 2 scans / 12 exchanges / 10.4 s at sf0.1
+    vs 1 scan / 4 exchanges / ~2 s for this shape). A window count
+    over the fingerprint drops singleton postings (no pair possible;
+    on a clean corpus that is ~all of them) and hot postings above
+    `max_postings` (boilerplate windows occurring in ~every doc - the
+    O(postings^2) blowup; dropped fingerprints still count in the
+    denominator, so capped containment only UNDERestimates -
+    conservative). The count, the groupBy that builds the bucket, and
+    the ordered-pair emission all ride one hash partitioning on the
+    8-byte fingerprint - the shuffle never carries text. Per-pair
+    shared-window counts then partial-aggregate on (a, b).
+
+    Exactness: fingerprints are the minhash-family polynomial fold of
+    per-token xxhash64s (functions/text.rolling_fingerprints),
+    injective on window token sequences up to 64-bit collisions (the
+    minhash_duplicate_pairs verify argument), so containment over
+    fingerprint SETS equals containment over window-string sets; the
+    driver oracle recomputes containment from the window strings
+    themselves. Empty/whitespace-only docs have no fingerprints and
+    emit no pairs.
+    """
+    from geeflow_spark.functions import text as _text
+    fps = _text.rolling_fingerprints(F.col(text_col), window)
+    # explode_OUTER + post-filter, not explode: plain explode makes
+    # Catalyst infer `size(fp) > 0` and push it below the spread
+    # exchange, which re-evaluates the fingerprint UDF over the whole
+    # corpus a second time (measured: doubled ArrowEvalPython nodes).
+    base = (_spread(df, spread)
+            .select(F.col(id_col), fps.alias("_fp"))
+            .select(id_col, F.size("_fp").alias("_n"),
+                    F.explode_outer("_fp").alias("_f"))
+            .filter(F.col("_f").isNotNull()))
+    wf = Window.partitionBy("_f")
+    post = (base.withColumn("_pn", F.count("*").over(wf))
+            .filter((F.col("_pn") > 1) & (F.col("_pn") <= max_postings))
+            .drop("_pn"))
+    grouped = (post.groupBy("_f")
+               .agg(F.collect_list(
+                   F.struct(F.col(id_col).alias("i"),
+                            F.col("_n").alias("n"))).alias("_ms")))
+    ms = F.col("_ms")
+    pair_arr = F.flatten(F.transform(
+        ms, lambda x: F.transform(
+            F.filter(ms, lambda y: y["i"] != x["i"]),
+            lambda y: F.struct(x["i"].alias("a"), y["i"].alias("b"),
+                               x["n"].alias("_na")))))
+    return (grouped.select(F.explode(pair_arr).alias("p"))
+            .select("p.a", "p.b", "p._na")
+            .groupBy("a", "b", "_na")
+            .agg(F.count("*").alias("_shared"))
+            .withColumn("containment",
+                        F.col("_shared") / F.col("_na"))
+            .filter(F.col("containment") >= threshold)
+            .select("a", "b", "containment"))
+
+
 def _block_combo_masks(blocks: int, block_t: int) -> list[int]:
     """Signed-int64 masks, one per C(blocks, block_t) block combination.
 

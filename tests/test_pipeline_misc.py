@@ -600,3 +600,40 @@ def test_repetition_metrics(spark):
     # doc 3: single word - no bigrams, frac pinned to 0
     assert out.loc[3, "n_words"] == 1
     assert out.loc[3, "dup_bigram_frac"] == 0.0
+
+
+def test_containment_directional(spark):
+    # Short doc quoted whole inside a long one: containment(a->b)=1.0
+    # while Jaccard (3/8) and the reverse direction (3/8) stay low -
+    # the signal symmetric near-dup misses by construction.
+    short = "one two three four five"
+    long_ = "zero one two three four five six seven eight nine"
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": [short, long_, "alpha beta gamma delta"]})
+    got = dedup.containment_pairs(
+        spark.createDataFrame(pdf), threshold=0.9, window=3).toPandas()
+    assert list(map(tuple, got[["a", "b"]].itertuples(index=False))) == [(1, 2)]
+    assert got["containment"].iloc[0] == 1.0
+    # reverse direction visible (and correct) at a lower threshold
+    lo = dedup.containment_pairs(
+        spark.createDataFrame(pdf), threshold=0.3, window=3).toPandas()
+    rev = lo[(lo.a == 2) & (lo.b == 1)]["containment"]
+    assert len(rev) == 1 and abs(rev.iloc[0] - 3 / 8) < 1e-9
+
+
+def test_containment_max_postings_cap(spark):
+    # A boilerplate window shared by every doc: with the cap below the
+    # corpus size its posting list is dropped (no pair survives); with
+    # the cap at corpus size the 0.25-containment pairs appear. The
+    # denominator always counts ALL fingerprints (capped containment
+    # only underestimates - conservative).
+    docs = [f"common boiler plate u{i} v{i} w{i}" for i in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(5), "text": docs}))
+    capped = dedup.containment_pairs(
+        df, threshold=0.2, window=3, max_postings=4).toPandas()
+    assert capped.empty
+    full = dedup.containment_pairs(
+        df, threshold=0.2, window=3, max_postings=5).toPandas()
+    assert len(full) == 20  # 5*4 ordered pairs, each 1/4
+    assert (full["containment"] == 0.25).all()
