@@ -418,6 +418,24 @@ def _q_dedup_survivors(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+def _q_dedup_survivors_quality(spark, sf_dir):
+    # Quality-aware survivor selection: keep the LONGEST member of
+    # each duplicate cluster (ties -> min id) instead of the arbitrary
+    # min-id one - what production pipelines actually want. Same
+    # production pair stage as dedup_survivors; the oracle recomputes
+    # closure AND the (length DESC, id ASC) winner per component from
+    # scratch. At sf0.01 20 of the 24 dropped ids differ from the
+    # min-id rule, so this row pins the argmax semantics, not a
+    # relabeling of dedup_survivors.
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .withColumn("_len", F.length("text")))
+    pairs = dedup.minhash_duplicate_pairs(
+        d, num_perm=64, bands=16, verify_jaccard=0.6,
+        spread=spark.sparkContext.defaultParallelism)
+    out = dedup.dedup_survivors(d, pairs, quality_col="_len")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def _q_dedup_simhash_manku(spark, sf_dir):
     # The SCALE banding under the driver oracle: Manku block-
     # combination keys (blocks=6, t=3 -> 20 tables of ~32-bit keys,
@@ -704,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": _q_dedup_ngram,
         "dedup_components": _q_dedup_components,
         "dedup_survivors": _q_dedup_survivors,
+        "dedup_survivors_quality": _q_dedup_survivors_quality,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
         "dedup_containment": _q_dedup_containment,
@@ -1195,6 +1214,33 @@ def oracle_sql() -> dict[str, str]:
           comp AS (SELECT n, MIN(l) AS component FROM reach GROUP BY n)
           SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
           WHERE doc_id NOT IN (SELECT n FROM comp WHERE component <> n)
+        """,
+        # quality-aware winner: same closure, then the (length DESC,
+        # id ASC) rank-1 member per component survives; everything in
+        # a component but not rank-1 is dropped.
+        "dedup_survivors_quality": f"""
+          WITH RECURSIVE e AS MATERIALIZED (
+            SELECT a, b FROM ({_ngram_jaccard_oracle(3, 0.6)})
+          ),
+          sym AS MATERIALIZED (
+            SELECT a AS s, b AS d FROM e
+            UNION ALL SELECT b, a FROM e
+          ),
+          reach(n, l) AS (
+            SELECT s, s FROM sym
+            UNION
+            SELECT sym.d, reach.l FROM reach JOIN sym ON sym.s = reach.n
+          ),
+          comp AS (SELECT n, MIN(l) AS component FROM reach GROUP BY n),
+          m AS (
+            SELECT comp.n, comp.component, length(d.text) AS q
+            FROM comp JOIN documents d ON d.doc_id = comp.n),
+          w AS (
+            SELECT n, row_number() OVER (
+                PARTITION BY component ORDER BY q DESC, n ASC) AS rk
+            FROM m)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+          WHERE doc_id NOT IN (SELECT n FROM w WHERE rk > 1)
         """,
         "dedup_minhash_pairs": _ngram_jaccard_oracle(3, 0.6),
         "dedup_simhash_pairs": _SIMHASH_ORACLE,

@@ -99,7 +99,7 @@ def run_queries(sf_dir: str) -> dict:
         "rel_q1_pricing", "rel_q3_revenue", "rel_topk_window",
         "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
         "dedup_simhash_manku", "dedup_survivors", "dedup_spans",
-        "dedup_containment",
+        "dedup_containment", "dedup_survivors_quality",
         "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk",
         "sim_lsh_pruned",
         "text_token_counts", "text_repetition",

@@ -679,15 +679,28 @@ def release_survivors_state() -> None:
 def dedup_survivors(docs: DataFrame, pairs: DataFrame,
                     id_col: str = "doc_id", a_col: str = "a",
                     b_col: str = "b", max_iter: int = 50,
-                    broadcast_max_rows: int = 1_000_000) -> DataFrame:
+                    broadcast_max_rows: int = 1_000_000,
+                    quality_col: str | None = None) -> DataFrame:
     """The corpus-level dedup deliverable: the FILTERED corpus.
 
     pairs -> connected components -> drop every doc that belongs to a
-    component but is not its canonical min-id survivor; docs that
-    appear in no pair pass through untouched. This is the operator an
-    LLM-data pipeline actually runs (the reference's nearest analog is
-    its skip-existing export filter, export_rasters.py:444-446); the
-    pair/cluster operators above are its building blocks.
+    component but is not its canonical survivor; docs that appear in
+    no pair pass through untouched. The survivor is the min-id member
+    by default; with `quality_col` it is the member with the HIGHEST
+    value of that docs column (ties -> min id) - what production
+    pipelines actually want: keep the best copy of a duplicate
+    cluster, not the arbitrary first-crawled one. Null quality ranks
+    lowest. This is the operator an LLM-data pipeline actually runs
+    (the reference's nearest analog is its skip-existing export
+    filter, export_rasters.py:444-446); the pair/cluster operators
+    above are its building blocks.
+
+    Quality path plan shape: component members equi-join docs on id to
+    fetch quality (member count ~ drop-list size; AQE picks broadcast
+    vs shuffle from runtime stats - no forced broadcast), then ONE
+    partial-aggregated max_by per component and a label-partitioned
+    join-back that reuses the aggregation's exchange. The winner
+    struct orders (quality, -id), so ties reproduce the min-id rule.
 
     Plan shape at 10^12 docs: the drop list is counted first (cheap -
     one agg over the already-materialized component labels) and the
@@ -712,9 +725,21 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
         comp, label_ids = _connected_components_locked(
             pairs, a_col, b_col, max_iter)
         before = _persistent_rdd_ids(sc)
-        drop = (comp.filter(F.col("_n") != F.col("_l"))
-                .select(F.col("_n").alias(id_col))
-                .localCheckpoint(eager=False))
+        if quality_col is None:
+            drop = (comp.filter(F.col("_n") != F.col("_l"))
+                    .select(F.col("_n").alias(id_col)))
+        else:
+            members = comp.join(
+                docs.select(F.col(id_col).alias("_n"),
+                            F.col(quality_col).alias("_q")), "_n")
+            win = (members.groupBy("_l")
+                   .agg(F.max_by("_n", F.struct(
+                       F.col("_q"), (-F.col("_n")).alias("_ni")))
+                       .alias("_w")))
+            drop = (members.join(win, "_l")
+                    .filter(F.col("_n") != F.col("_w"))
+                    .select(F.col("_n").alias(id_col)))
+        drop = drop.localCheckpoint(eager=False)
         # ONE job materializes the lazy checkpoint AND counts it (the
         # gate statistic) - same fold-the-action trick as the CC loop.
         n_drop = int(drop.count())

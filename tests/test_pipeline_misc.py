@@ -345,6 +345,24 @@ def test_dedup_survivors(spark):
     dedup.release_survivors_state()
 
 
+def test_dedup_survivors_quality(spark):
+    # quality_col winner selection: component {1,2,3} keeps 2 (highest
+    # quality; null on 3 ranks lowest), component {4,5} ties on
+    # quality and falls back to the min-id rule (keeps 4); doc 6 is in
+    # no pair and passes through. Winner 2 != min id 1 pins that the
+    # argmax actually ran.
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6],
+                      "text": list("abcdef"),
+                      "q": [5.0, 9.0, None, 7.0, 7.0, 1.0]}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"a": [1, 2, 4], "b": [2, 3, 5]}))
+    out = dedup.dedup_survivors(docs, pairs, quality_col="q").toPandas()
+    assert sorted(out["doc_id"]) == [2, 4, 6]
+    assert list(out.columns) == ["doc_id", "text", "q"]
+    dedup.release_survivors_state()
+
+
 def test_dedup_survivors_broadcast_gate(spark):
     # Majority-duplicate corpus (the web-scale regime the gate exists
     # for): 300 docs in 100 chains of 3 -> 200 dropped. With the
