@@ -34,7 +34,7 @@ from geeflow_spark.functions import s2 as _s2
 from geeflow_spark.functions import utm as _utm
 from geeflow_spark.functions import text as T
 from geeflow_spark.operators import dedup, knn, similarity, spatial_join, splits, tiles
-from geeflow_spark.operators import text_metrics
+from geeflow_spark.operators import sampling, text_metrics
 from geeflow_spark.plans import generate, layout
 from geeflow_spark.sources import catalog, derived, synth
 
@@ -418,6 +418,37 @@ def _q_dedup_survivors(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
+_SAMPLE_FRACS = {"en": 0.5, "de": 0.25, "zh": 0.75}
+_SAMPLE_DEFAULT = 0.1
+_MIX_RATES = {"src0": 2.5, "src1": 0.4, "src2": 0.0}
+
+
+def _q_corpus_sample(spark, sf_dir):
+    # Deterministic stratified sampling (md5 family so DuckDB replays
+    # the exact per-row draw): per-language keep fractions with a
+    # default for unlisted strata. Membership is a pure function of
+    # (lang, doc_id, seed) - identical across runs, partitionings,
+    # and cluster sizes.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.stratified_sample(
+        d, _SAMPLE_FRACS, strata_col="lang",
+        default_fraction=_SAMPLE_DEFAULT, seed=7, hash_family="md5")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "lang")
+
+
+def _q_corpus_mix(spark, sf_dir):
+    # Rate-based training-mix: per-source rates incl. upsampling
+    # (2.5 -> two full epochs + a deterministic 50% third) and a full
+    # drop; epoch-tagged output, row-local explode (no join).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.mix_corpus(
+        d, _MIX_RATES, strata_col="source", default_rate=1.0,
+        seed=3, hash_family="md5")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "source", F.col("epoch").cast("long").alias("epoch"))
+
+
 def _q_dedup_survivors_quality(spark, sf_dir):
     # Quality-aware survivor selection: keep the LONGEST member of
     # each duplicate cluster (ties -> min id) instead of the arbitrary
@@ -723,6 +754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_survivors": _q_dedup_survivors,
         "dedup_survivors_quality": _q_dedup_survivors_quality,
+        "corpus_sample": _q_corpus_sample,
+        "corpus_mix": _q_corpus_mix,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
         "dedup_containment": _q_dedup_containment,
@@ -1214,6 +1247,48 @@ def oracle_sql() -> dict[str, str]:
           comp AS (SELECT n, MIN(l) AS component FROM reach GROUP BY n)
           SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
           WHERE doc_id NOT IN (SELECT n FROM comp WHERE component <> n)
+        """,
+        # deterministic stratified sampling: DuckDB replays the exact
+        # md5 draw ((top-64-bits of md5) mod 2^63) against the same
+        # integer thresholds the Spark side embeds (both come from
+        # sampling.threshold_u63 - engine float rounding can't
+        # disagree).
+        "corpus_sample": f"""
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+          FROM documents
+          WHERE (('0x' || substr(md5(lang || '|' ||
+                     CAST(doc_id AS VARCHAR) || ':7'), 1, 16))::UBIGINT
+                 % 9223372036854775808)
+                < CASE lang
+                    {' '.join(f"WHEN '{s}' THEN {sampling.threshold_u63(v)}"
+                              for s, v in sorted(_SAMPLE_FRACS.items()))}
+                    ELSE {sampling.threshold_u63(_SAMPLE_DEFAULT)} END
+        """,
+        # rate-based mixing: whole-epoch count + the same Bernoulli
+        # draw for the fractional extra copy, exploded via a lateral
+        # generate_series (empty when copies = 0).
+        "corpus_mix": f"""
+          WITH c AS (
+            SELECT doc_id, source,
+                   CASE source
+                     {' '.join(f"WHEN '{s}' THEN {int(v)}"
+                               for s, v in sorted(_MIX_RATES.items()))}
+                     ELSE 1 END
+                   + CASE WHEN (('0x' || substr(md5(source || '|' ||
+                         CAST(doc_id AS VARCHAR) || ':3'), 1, 16))::UBIGINT
+                         % 9223372036854775808)
+                       < CASE source
+                           {' '.join(
+                               f"WHEN '{s}' THEN "
+                               f"{sampling.threshold_u63(v - int(v))}"
+                               for s, v in sorted(_MIX_RATES.items()))}
+                           ELSE 0 END
+                     THEN 1 ELSE 0 END AS copies
+            FROM documents)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                 CAST(unnest([i for i in range(0, copies)]) AS BIGINT)
+                   AS epoch
+          FROM c
         """,
         # quality-aware winner: same closure, then the (length DESC,
         # id ASC) rank-1 member per component survives; everything in
