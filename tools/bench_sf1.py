@@ -313,6 +313,48 @@ def run(spark, n: int) -> dict:
 
     step("simhash_pairs", _sh)
 
+    # directional containment (inverted-index bucket pipeline): the
+    # exact-copy class gives containment 1.0 BOTH directions -> truth
+    # = 2 ordered pairs per 1000 docs at threshold 0.9 (the 1-token
+    # mutants sit at 6/13 = 0.46, safely below; random cross-doc
+    # window collisions ~ vocab^-8). Same-length planted classes:
+    # this measures the scale path; the short-in-long asymmetric case
+    # is pinned by the driver oracle + pytests at gate scale.
+    def _cont():
+        true_pairs = 2 * (n // 1000)
+        out, walls = timed(lambda: dedup.containment_pairs(
+            text, threshold=0.9, window=8, spread=spread).count())
+        return {"pairs": out, "true_pairs": true_pairs,
+                "recall": round(out / true_pairs, 4), "walls": walls}
+
+    step("containment", _cont)
+
+    # span-level (paragraph) dedup over the interleaved docs table in
+    # the EXTREME boilerplate regime: synth text spans are 2-word
+    # combos from a small vocab, so distinct texts saturate and the
+    # drop fraction approaches 1 - the worst case for the dropped-
+    # positions join (nearly every doc is affected; the final join
+    # must NOT broadcast-degenerate). Consistency: surviving text
+    # spans == corpus-distinct normalized texts, exactly.
+    def _spans():
+        sdocs = spark.read.parquet(docs_p).select("doc_id", "spans")
+        out, walls = timed(
+            lambda: dedup.span_dedup(sdocs)
+            .select(F.explode("spans").alias("s"))
+            .filter(F.col("s.kind") == "text").count())
+        total = sdocs.select(F.explode("spans").alias("s")) \
+            .filter(F.col("s.kind") == "text")
+        n_text = total.count()
+        n_distinct = total.select(
+            F.lower(F.trim(F.col("s.text"))).alias("t")) \
+            .filter(F.col("t") != "").distinct().count()
+        return {"kept_text_spans": out, "total_text_spans": n_text,
+                "distinct_texts": n_distinct,
+                "drop_fraction": round(1 - out / n_text, 4),
+                "consistent": bool(out == n_distinct), "walls": walls}
+
+    step("span_dedup", _spans)
+
     # embedding sign-LSH top-k (100 queries vs n vectors), buckets
     # SIZED to the corpus per the lsh_topk docstring: 48 planes / 6
     # bands = 8-bit keys (the 16/4 default is a <=10^5-row config -
@@ -513,7 +555,7 @@ def main() -> None:
     ]
     ratios = {}
     for name in ("flagship", "minhash_pairs", "simhash_pairs",
-                 "lsh_topk", "geo_knn"):
+                 "containment", "span_dedup", "lsh_topk", "geo_knn"):
         ws, wb = out["small"][name]["walls"], out["big"][name]["walls"]
         r = round(min(wb) / min(ws), 1)
         ratios[name] = r
@@ -600,6 +642,23 @@ def main() -> None:
         f"above 1.0 are the J=0.714 single-token-mutation pairs whose "
         f"simhash lands within hamming 3 by vote-margin luck - "
         f"legitimate near-dup pairs, not noise).",
+        f"- Containment (threshold 0.9, window 8) planted-truth "
+        f"recall: {out['small']['containment']['recall']} at "
+        f"{small:,}, {out['big']['containment']['recall']} at {big:,} "
+        f"(truth = 2n/1000 ordered pairs: the exact-copy class is "
+        f"contained 1.0 both directions; the 1-token mutants sit at "
+        f"6/13 = 0.46, below threshold - exact-by-construction, so "
+        f"recall must be 1.0).",
+        f"- Span-level dedup in the extreme-boilerplate regime "
+        f"(synth spans are 2-word combos from a small vocab): drop "
+        f"fraction {out['big']['span_dedup']['drop_fraction']} at "
+        f"{big:,} docs ({out['big']['span_dedup']['total_text_spans']:,}"
+        f" text spans -> {out['big']['span_dedup']['kept_text_spans']:,}"
+        f" survivors), survivors == corpus-distinct normalized texts: "
+        f"{out['big']['span_dedup']['consistent']} at both scales "
+        f"(small: {out['small']['span_dedup']['consistent']}) - the "
+        f"worst case for the dropped-positions join (every doc "
+        f"affected), still {min(out['big']['span_dedup']['walls'])}s.",
         f"- lsh_topk recall@10 vs exact brute force (5 queries, sized "
         f"48-plane/6-band buckets): "
         f"{out['small']['lsh_topk'].get('recall_at_10')} at {small:,}, "
