@@ -34,7 +34,7 @@ from geeflow_spark.functions import s2 as _s2
 from geeflow_spark.functions import utm as _utm
 from geeflow_spark.functions import text as T
 from geeflow_spark.operators import dedup, knn, similarity, spatial_join, splits, tiles
-from geeflow_spark.operators import sampling, text_metrics
+from geeflow_spark.operators import chunking, sampling, text_metrics
 from geeflow_spark.plans import generate, layout
 from geeflow_spark.sources import catalog, derived, synth
 
@@ -449,6 +449,26 @@ def _q_corpus_mix(spark, sf_dir):
                       "source", F.col("epoch").cast("long").alias("epoch"))
 
 
+def _q_corpus_chunks(spark, sf_dir):
+    # Context-window chunking (40-token windows, 8-token overlap):
+    # row-local JVM explode/slice, no UDF, no shuffle; the token array
+    # is split once per doc (explode-then-slice shape - the bound
+    # column, not a re-evaluated split expression).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunking.chunk_documents(d, max_tokens=40, overlap=8)
+
+
+def _q_corpus_shuffle_rank(spark, sf_dir):
+    # Deterministic global permutation (md5 family): rank = position
+    # in (hash(doc_id, seed), doc_id) order, computed scalably via
+    # value-range buckets + cumulative offsets instead of a
+    # single-partition global window.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.shuffle_rank(d, seed=11, hash_family="md5")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "rank")
+
+
 def _q_dedup_survivors_quality(spark, sf_dir):
     # Quality-aware survivor selection: keep the LONGEST member of
     # each duplicate cluster (ties -> min id) instead of the arbitrary
@@ -756,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors_quality": _q_dedup_survivors_quality,
         "corpus_sample": _q_corpus_sample,
         "corpus_mix": _q_corpus_mix,
+        "corpus_chunks": _q_corpus_chunks,
+        "corpus_shuffle_rank": _q_corpus_shuffle_rank,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
         "dedup_containment": _q_dedup_containment,
@@ -1289,6 +1311,44 @@ def oracle_sql() -> dict[str, str]:
                  CAST(unnest([i for i in range(0, copies)]) AS BIGINT)
                    AS epoch
           FROM c
+        """,
+        # chunking: same windows via DuckDB list slicing (1-based,
+        # INCLUSIVE end -> [start+1 : start+max]); n_chunks =
+        # ceil((n - overlap) / stride) floored at 1.
+        "corpus_chunks": """
+          WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+          c AS (
+            SELECT doc_id, ws,
+                   greatest(CAST(ceil((len(ws) - 8) / 32.0) AS BIGINT),
+                            1) AS nc
+            FROM w),
+          e AS (
+            SELECT doc_id, ws,
+                   unnest([i for i in range(0, nc)]) AS ci
+            FROM c)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(ci AS BIGINT) AS chunk_id,
+                 array_to_string(ws[ci * 32 + 1 : ci * 32 + 40], ' ')
+                   AS chunk_text,
+                 CAST(least(40, len(ws) - ci * 32) AS BIGINT)
+                   AS chunk_tokens
+          FROM e
+        """,
+        # global permutation: the exact md5 draw, ranked by
+        # (draw, doc_id) - one window in DuckDB replays what Spark
+        # computes via range buckets + offsets.
+        "corpus_shuffle_rank": """
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(row_number() OVER (ORDER BY d, doc_id) - 1
+                      AS BIGINT) AS rank
+          FROM (
+            SELECT doc_id,
+                   (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || ':11'), 1, 16))::UBIGINT
+                    % 9223372036854775808) AS d
+            FROM documents)
         """,
         # quality-aware winner: same closure, then the (length DESC,
         # id ASC) rank-1 member per component survives; everything in

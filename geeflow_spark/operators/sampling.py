@@ -27,7 +27,7 @@ sum(rate_s * |stratum_s|), never a join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geeflow_spark.operators.dedup import _md5_64
@@ -134,3 +134,40 @@ def mix_corpus(df: DataFrame, rates: dict[str, float],
                         F.explode(F.sequence(
                             F.lit(0), F.col("_copies") - 1)))
             .drop("_copies"))
+
+
+def shuffle_rank(df: DataFrame, key_col: str = "doc_id", seed: int = 0,
+                 hash_family: str = "xxh64", out_col: str = "rank",
+                 n_buckets: int = 1024) -> DataFrame:
+    """Deterministic global shuffle order: adds a dense 0-based
+    `out_col` that is the row's position in (hash(key, seed), key)
+    order - the reproducible corpus permutation training exports need
+    (same order on any cluster size; a different seed is a fresh
+    permutation).
+
+    A naive global row_number() (Window with no partitionBy) funnels
+    the corpus through ONE partition. This computes the same rank
+    scalably: the draw's VALUE RANGE is cut into `n_buckets` fixed
+    intervals (bucket = draw div width - deterministic, not
+    partition-dependent), ranks are local per bucket (distributed
+    window), and each bucket's global offset is the cumulative count
+    of lower buckets - an aggregate of at most n_buckets rows,
+    broadcast back. Integer `div`, not float division: at 2^63 the
+    double mantissa would misbucket edge draws.
+    """
+    width = (1 << 63) // n_buckets + 1
+    draw = _draw_u63(F.col(key_col), seed, hash_family)
+    d = df.withColumn("_d", draw) \
+          .withColumn("_b", F.expr(f"_d div {width}"))
+    counts = d.groupBy("_b").agg(F.count("*").alias("_c"))
+    # cumulative offsets: a window over <= n_buckets aggregated rows -
+    # single-partition by construction, and bounded by construction.
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_off"))
+    lw = Window.partitionBy("_b").orderBy("_d", key_col)
+    return (d.withColumn("_lr", F.row_number().over(lw))
+            .join(F.broadcast(offsets), "_b")
+            .withColumn(out_col,
+                        (F.col("_off") + F.col("_lr") - 1).cast("long"))
+            .drop("_d", "_b", "_lr", "_off"))

@@ -1,0 +1,47 @@
+"""Document chunking (operators/chunking)."""
+
+import pandas as pd
+import pytest
+
+from geeflow_spark.operators import chunking
+
+
+def _chunks(spark, texts, **kw):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = chunking.chunk_documents(df, **kw).toPandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
+def test_chunk_windows_exact(spark):
+    text = " ".join(f"t{i}" for i in range(10))
+    out = _chunks(spark, [text], max_tokens=4, overlap=1)
+    # stride 3, ceil((10-1)/3) = 3 chunks: [0:4], [3:7], [6:10]
+    assert out["chunk_id"].tolist() == [0, 1, 2]
+    assert out["chunk_text"].tolist() == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9"]
+    assert out["chunk_tokens"].tolist() == [4, 4, 4]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    out = _chunks(spark, ["only two", ""], max_tokens=5, overlap=2)
+    # short doc passes through whole; empty text -> one empty chunk
+    assert len(out) == 2
+    assert out.loc[0, "chunk_text"] == "only two"
+    assert out.loc[0, "chunk_tokens"] == 2
+    assert out.loc[1, "chunk_text"] == ""
+
+
+def test_chunk_tail_partial_window(spark):
+    text = " ".join(f"t{i}" for i in range(7))
+    out = _chunks(spark, [text], max_tokens=4, overlap=0)
+    assert out["chunk_text"].tolist() == ["t0 t1 t2 t3", "t4 t5 t6"]
+    assert out["chunk_tokens"].tolist() == [4, 3]
+
+
+def test_chunk_overlap_validation(spark):
+    df = None
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, max_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, max_tokens=4, overlap=-1)

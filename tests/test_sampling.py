@@ -81,3 +81,24 @@ def test_mix_corpus_rates_and_epochs(spark):
     key = ["doc_id", "lang", "epoch"]
     assert sorted(map(tuple, out[key].itertuples(index=False))) == \
         sorted(map(tuple, again[key].itertuples(index=False)))
+
+
+def test_shuffle_rank_permutation_and_order(spark):
+    # rank is a dense 0-based permutation matching (md5 draw, key)
+    # order - recomputed independently with hashlib - regardless of
+    # partitioning or bucket count (3 buckets forces multi-bucket
+    # offsets).
+    d = _docs(spark, 97).repartition(5)
+    out = sampling.shuffle_rank(d, seed=11, hash_family="md5",
+                                n_buckets=3).toPandas()
+    assert sorted(out["rank"]) == list(range(97))
+    draws = {i: int(hashlib.md5(f"{i}:11".encode()).hexdigest()[:16], 16)
+             % (1 << 63) for i in range(97)}
+    exp_order = sorted(range(97), key=lambda i: (draws[i], i))
+    got = out.sort_values("rank")["doc_id"].tolist()
+    assert got == exp_order
+    # same permutation at a different bucketing / parallelism
+    out2 = sampling.shuffle_rank(d.coalesce(1), seed=11,
+                                 hash_family="md5",
+                                 n_buckets=64).toPandas()
+    assert out2.sort_values("rank")["doc_id"].tolist() == exp_order
