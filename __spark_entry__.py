@@ -469,6 +469,26 @@ def _q_corpus_shuffle_rank(spark, sf_dir):
                       "rank")
 
 
+def _q_corpus_pack(spark, sf_dir):
+    # The composed training-export pipeline: chunk -> deterministic
+    # global shuffle -> concatenate-and-cut packing at a 128-token
+    # budget. Small bucket knobs (64 rank buckets, 256-row pack
+    # buckets) so the multi-bucket offset paths are exercised at gate
+    # scale, not just the single-bucket degenerate.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = chunking.chunk_documents(d, max_tokens=40, overlap=8)
+    keyed = ch.withColumn(
+        "_k", F.concat_ws("#", F.col("doc_id").cast("string"),
+                          F.col("chunk_id").cast("string")))
+    ranked = sampling.shuffle_rank(keyed, key_col="_k", seed=13,
+                                   hash_family="md5", n_buckets=64)
+    out = chunking.pack_sequences(ranked, budget=128, order_col="rank",
+                                  bucket_size=256)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "chunk_id", "rank", "prefix_tokens", "pack_id",
+                      "pack_offset")
+
+
 def _q_dedup_survivors_quality(spark, sf_dir):
     # Quality-aware survivor selection: keep the LONGEST member of
     # each duplicate cluster (ties -> min id) instead of the arbitrary
@@ -778,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": _q_corpus_mix,
         "corpus_chunks": _q_corpus_chunks,
         "corpus_shuffle_rank": _q_corpus_shuffle_rank,
+        "corpus_pack": _q_corpus_pack,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
         "dedup_containment": _q_dedup_containment,
@@ -1335,6 +1356,50 @@ def oracle_sql() -> dict[str, str]:
                  CAST(least(40, len(ws) - ci * 32) AS BIGINT)
                    AS chunk_tokens
           FROM e
+        """,
+        # the composed pipeline: chunk windows -> md5-draw permutation
+        # over the composite chunk key -> exclusive prefix sum in rank
+        # order -> integer pack math. One DuckDB window replays the
+        # distributed bucket-offset machinery end-to-end.
+        "corpus_pack": """
+          WITH w AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+          c AS (
+            SELECT doc_id, ws,
+                   greatest(CAST(ceil((len(ws) - 8) / 32.0) AS BIGINT),
+                            1) AS nc
+            FROM w),
+          ch AS (
+            SELECT doc_id,
+                   unnest([i for i in range(0, nc)]) AS chunk_id,
+                   ws
+            FROM c),
+          tok AS (
+            SELECT doc_id, chunk_id,
+                   least(40, len(ws) - chunk_id * 32) AS t,
+                   CAST(doc_id AS VARCHAR) || '#' ||
+                     CAST(chunk_id AS VARCHAR) AS k
+            FROM ch),
+          rk AS (
+            SELECT doc_id, chunk_id, t,
+                   row_number() OVER (ORDER BY
+                     (('0x' || substr(md5(k || ':13'), 1, 16))::UBIGINT
+                      % 9223372036854775808), k) - 1 AS rank
+            FROM tok),
+          p AS (
+            SELECT doc_id, chunk_id, rank,
+                   COALESCE(SUM(t) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS prefix
+            FROM rk)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(chunk_id AS BIGINT) AS chunk_id,
+                 CAST(rank AS BIGINT) AS rank,
+                 CAST(prefix AS BIGINT) AS prefix_tokens,
+                 CAST(prefix // 128 AS BIGINT) AS pack_id,
+                 CAST(prefix % 128 AS BIGINT) AS pack_offset
+          FROM p
         """,
         # global permutation: the exact md5 draw, ranked by
         # (draw, doc_id) - one window in DuckDB replays what Spark

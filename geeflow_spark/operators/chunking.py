@@ -18,7 +18,7 @@ functions/text.rolling_fingerprints).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -54,3 +54,46 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
                     F.least(F.lit(max_tokens),
                             F.size("_ws") - F.col("_ci") * stride)
                     .cast("long").alias("chunk_tokens")))
+
+
+def pack_sequences(df: DataFrame, budget: int, order_col: str,
+                   tokens_col: str = "chunk_tokens",
+                   bucket_size: int = 1 << 20) -> DataFrame:
+    """Sequence packing, concatenate-and-cut style: rows are laid out
+    in increasing `order_col` (an integer total order - typically
+    sampling.shuffle_rank output) and cut into packs of exactly
+    `budget` tokens; each row gets the exclusive prefix token count
+    (`prefix_tokens`), its pack (`pack_id` = prefix div budget) and
+    position (`pack_offset` = prefix mod budget). A row may straddle
+    two packs (offset + tokens > budget) - the standard pretraining
+    concatenation, where the cut falls mid-document; consumers that
+    forbid straddling filter or re-chunk those rows.
+
+    The global running sum is computed WITHOUT a single-partition
+    window: `order_col` is cut into fixed `bucket_size` ranges
+    (contiguous in the order), per-bucket prefix sums run under a
+    distributed window, and each bucket's global token offset is a
+    cumulative sum over the per-bucket totals - at most
+    n_rows / bucket_size aggregated rows, broadcast back (the
+    shuffle_rank recipe applied to a SUM instead of a COUNT).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    d = df.withColumn("_b", F.expr(f"{order_col} div {bucket_size}"))
+    totals = d.groupBy("_b").agg(F.sum(tokens_col).alias("_t"))
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_t").over(w), F.lit(0)).alias("_off"))
+    lw = (Window.partitionBy("_b").orderBy(order_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    return (d.withColumn("_lp", F.coalesce(F.sum(tokens_col).over(lw),
+                                           F.lit(0)))
+            .join(F.broadcast(offsets), "_b")
+            .withColumn("prefix_tokens",
+                        (F.col("_off") + F.col("_lp")).cast("long"))
+            .withColumn("pack_id",
+                        F.expr(f"prefix_tokens div {budget}"))
+            .withColumn("pack_offset",
+                        F.pmod("prefix_tokens", F.lit(budget))
+                        .cast("long"))
+            .drop("_b", "_lp", "_off"))

@@ -45,3 +45,22 @@ def test_chunk_overlap_validation(spark):
         chunking.chunk_documents(df, max_tokens=4, overlap=4)
     with pytest.raises(ValueError):
         chunking.chunk_documents(df, max_tokens=4, overlap=-1)
+
+
+def test_pack_sequences_prefix_math(spark):
+    # tokens [5,4,3,2,6] in rank order, budget 7: exclusive prefixes
+    # [0,5,9,12,14] -> packs [0,0,1,1,2], offsets [0,5,2,5,0]; row 1
+    # straddles packs 0/1 (offset 5 + 4 tokens > 7) - allowed by the
+    # concatenate-and-cut contract. bucket_size=2 forces the
+    # multi-bucket offset path.
+    pdf = pd.DataFrame({"rank": [0, 1, 2, 3, 4],
+                        "chunk_tokens": [5, 4, 3, 2, 6]})
+    out = chunking.pack_sequences(
+        spark.createDataFrame(pdf).repartition(3), budget=7,
+        order_col="rank", bucket_size=2).toPandas() \
+        .sort_values("rank").reset_index(drop=True)
+    assert out["prefix_tokens"].tolist() == [0, 5, 9, 12, 14]
+    assert out["pack_id"].tolist() == [0, 0, 1, 1, 2]
+    assert out["pack_offset"].tolist() == [0, 5, 2, 5, 0]
+    with pytest.raises(ValueError):
+        chunking.pack_sequences(None, budget=0, order_col="rank")
