@@ -355,6 +355,37 @@ def run(spark, n: int) -> dict:
 
     step("span_dedup", _spans)
 
+    # training-export pipeline at scale: deterministic global shuffle
+    # (value-range buckets + broadcast offsets - no single-partition
+    # window) + concatenate-and-cut packing at a 4096-token budget.
+    # Determinism evidence: the (doc_id, rank) checksum is IDENTICAL
+    # under a different bucket count (different physical plan, same
+    # permutation) - the property a 1000-executor cluster relies on.
+    def _pack():
+        from geeflow_spark.operators import chunking as ck
+        from geeflow_spark.operators import sampling as sp
+        toks = text.withColumn(
+            "chunk_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+
+        def pipeline(nb):
+            ranked = sp.shuffle_rank(toks, seed=11, n_buckets=nb)
+            packed = ck.pack_sequences(ranked, budget=4096,
+                                       order_col="rank")
+            return packed.agg(
+                F.count("*").alias("rows"),
+                F.max("pack_id").alias("max_pack"),
+                F.xxhash64(F.sum(F.col("rank") * F.col("pack_id")))
+                 .alias("ck")).collect()[0]
+
+        out, walls = timed(lambda: pipeline(1024))
+        alt = pipeline(4096)
+        return {"rows": out["rows"], "packs": int(out["max_pack"]) + 1,
+                "checksum": int(out["ck"]),
+                "bucket_invariant": bool(int(out["ck"]) == int(alt["ck"])),
+                "walls": walls}
+
+    step("shuffle_pack", _pack)
+
     # embedding sign-LSH top-k (100 queries vs n vectors), buckets
     # SIZED to the corpus per the lsh_topk docstring: 48 planes / 6
     # bands = 8-bit keys (the 16/4 default is a <=10^5-row config -
@@ -555,7 +586,8 @@ def main() -> None:
     ]
     ratios = {}
     for name in ("flagship", "minhash_pairs", "simhash_pairs",
-                 "containment", "span_dedup", "lsh_topk", "geo_knn"):
+                 "containment", "span_dedup", "shuffle_pack",
+                 "lsh_topk", "geo_knn"):
         ws, wb = out["small"][name]["walls"], out["big"][name]["walls"]
         r = round(min(wb) / min(ws), 1)
         ratios[name] = r
@@ -659,6 +691,16 @@ def main() -> None:
         f"(small: {out['small']['span_dedup']['consistent']}) - the "
         f"worst case for the dropped-positions join (every doc "
         f"affected), still {min(out['big']['span_dedup']['walls'])}s.",
+        f"- Shuffle+pack training-export pipeline (global permutation "
+        f"via value-range buckets + 4096-token concatenate-and-cut): "
+        f"{out['big']['shuffle_pack']['rows']:,} docs -> "
+        f"{out['big']['shuffle_pack']['packs']:,} packs in "
+        f"{min(out['big']['shuffle_pack']['walls'])}s at {big:,}; "
+        f"permutation checksum invariant under a different bucket "
+        f"count (1024 vs 4096 - different physical plan, same "
+        f"answer): {out['big']['shuffle_pack']['bucket_invariant']} "
+        f"at both scales (small: "
+        f"{out['small']['shuffle_pack']['bucket_invariant']}).",
         f"- lsh_topk recall@10 vs exact brute force (5 queries, sized "
         f"48-plane/6-band buckets): "
         f"{out['small']['lsh_topk'].get('recall_at_10')} at {small:,}, "
