@@ -489,6 +489,21 @@ def _q_corpus_pack(spark, sf_dir):
                       "pack_offset")
 
 
+def _q_corpus_decontaminate(spark, sf_dir):
+    # Benchmark decontamination (test-set n-gram overlap removal):
+    # docs with id % 10 == 0 act as the held-out benchmark; every
+    # training doc sharing an 8-token window with any of them is
+    # dropped (near-dup copies of benchmark docs are the real-world
+    # leak this catches). Counted broadcast gate on the benchmark
+    # fingerprint set; oracle recomputes the window-string overlap
+    # from scratch.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    out = dedup.decontaminate(train, bench, window=8)
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
 def _q_dedup_survivors_quality(spark, sf_dir):
     # Quality-aware survivor selection: keep the LONGEST member of
     # each duplicate cluster (ties -> min id) instead of the arbitrary
@@ -799,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_chunks": _q_corpus_chunks,
         "corpus_shuffle_rank": _q_corpus_shuffle_rank,
         "corpus_pack": _q_corpus_pack,
+        "corpus_decontaminate": _q_corpus_decontaminate,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
         "dedup_containment": _q_dedup_containment,
@@ -1356,6 +1372,31 @@ def oracle_sql() -> dict[str, str]:
                  CAST(least(40, len(ws) - ci * 32) AS BIGINT)
                    AS chunk_tokens
           FROM e
+        """,
+        # decontamination: benchmark window-string set, training docs
+        # sharing any window dropped - the same list-comprehension
+        # window derivation the containment oracle uses.
+        "corpus_decontaminate": r"""
+          WITH w AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(ws[i:i+7], ' ')
+                     for i in range(1, greatest(len(ws) - 7, 1) + 1)])
+                     AS fps
+            FROM (SELECT doc_id,
+                         string_split_regex(lower(trim(text)), '\s+')
+                           AS ws
+                  FROM documents WHERE trim(text) <> '') t),
+          b AS (
+            SELECT DISTINCT unnest(fps) AS f FROM w
+            WHERE doc_id % 10 = 0),
+          bad AS (
+            SELECT DISTINCT e.doc_id
+            FROM (SELECT doc_id, unnest(fps) AS f FROM w
+                  WHERE doc_id % 10 <> 0) e
+            JOIN b USING (f))
+          SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+          WHERE doc_id % 10 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         # the composed pipeline: chunk windows -> md5-draw permutation
         # over the composite chunk key -> exclusive prefix sum in rank

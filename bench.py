@@ -103,7 +103,7 @@ def run_queries(sf_dir: str) -> dict:
         "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk",
         "sim_lsh_pruned",
         "corpus_sample", "corpus_mix", "corpus_chunks",
-        "corpus_shuffle_rank", "corpus_pack",
+        "corpus_shuffle_rank", "corpus_pack", "corpus_decontaminate",
         "text_token_counts", "text_repetition",
         "spans_explode", "src_s2_cloudfree_mosaic",
         "src_s2_quality_mosaic",

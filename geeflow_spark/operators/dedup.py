@@ -916,6 +916,88 @@ def containment_pairs(df: DataFrame, threshold: float = 0.5,
             .select("a", "b", "containment"))
 
 
+# decontaminate's contaminated-id frames are eagerly localCheckpointed
+# (lineage truncated - the benchmark blocks are released before
+# returning, so the ids must not be recomputable-from-them). Each call
+# releases the PREVIOUS call's blocks; release_decontaminate_state()
+# sweeps at session end. Separate registry from the survivors state:
+# a dedup_survivors call must not free a live decontaminate result.
+_decontaminate_live_ids: set = set()
+
+
+def release_decontaminate_state() -> None:
+    """Releases the contaminated-id checkpoint blocks of prior
+    decontaminate() calls (their results recompute nothing - consume
+    before releasing)."""
+    with _cache_lock:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        sc = spark.sparkContext if spark is not None else None
+        if sc is not None and _decontaminate_live_ids:
+            _release_rdds(sc, set(_decontaminate_live_ids))
+        _decontaminate_live_ids.clear()
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  window: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  bench_text_col: str = "text",
+                  broadcast_max_rows: int = 10_000_000,
+                  spread: int | None = None) -> DataFrame:
+    """Benchmark decontamination: drop every training doc that shares
+    at least one `window`-token n-gram with any benchmark text - the
+    standard test-set-overlap filter LLM pipelines run before
+    training (n-gram collision, case/whitespace-normalized).
+
+    Plan shape at 10^12 docs: the benchmark n-gram set is the SMALL
+    side (test sets are ~10^5-10^7 n-grams) - its distinct
+    fingerprints are localCheckpointed, COUNTED, and broadcast only
+    under `broadcast_max_rows` (a semi-join against exploded corpus
+    fingerprints stays map-side); above the gate the semi-join is
+    AQE-planned, the survivors-gate pattern. The corpus side is one
+    pass: fingerprint -> explode -> semi-join -> distinct contaminated
+    ids -> anti-join back (contaminated ids are a small fraction at
+    real contamination rates; that join is left to AQE). Fingerprints
+    are the rolling-window fold (functions/text.rolling_fingerprints)
+    - exact n-gram equality up to 64-bit collisions; empty/whitespace
+    docs have no fingerprints and always survive.
+
+    Returns docs' full rows, decontaminated only. The benchmark
+    fingerprint blocks are released before returning; the (small)
+    contaminated-id frame's blocks are released at the next call or
+    via release_decontaminate_state().
+    """
+    from geeflow_spark.functions import text as _text
+    sc = docs.sparkSession.sparkContext
+    release_decontaminate_state()  # previous call's id blocks
+    fps = _text.rolling_fingerprints(F.col(bench_text_col), window)
+    bench = (benchmark.select(F.explode_outer(fps).alias("_f"))
+             .filter(F.col("_f").isNotNull())
+             .distinct()
+             .localCheckpoint(eager=False))
+    before = _persistent_rdd_ids(sc)
+    n_bench = int(bench.count())
+    bench_ids = _persistent_rdd_ids(sc) - before
+    try:
+        dfp = _text.rolling_fingerprints(F.col(text_col), window)
+        exploded = (_spread(docs, spread)
+                    .select(F.col(id_col), dfp.alias("_fp"))
+                    .select(id_col, F.explode_outer("_fp").alias("_f"))
+                    .filter(F.col("_f").isNotNull()))
+        rhs = F.broadcast(bench) if n_bench <= broadcast_max_rows \
+            else bench
+        pre = _persistent_rdd_ids(sc)
+        bad = (exploded.join(rhs, "_f", "left_semi")
+               .select(id_col).distinct()
+               .localCheckpoint(eager=True))
+        with _cache_lock:
+            _decontaminate_live_ids.update(_persistent_rdd_ids(sc) - pre
+                                           - bench_ids)
+        return docs.join(bad, id_col, "left_anti")
+    finally:
+        _release_rdds(sc, bench_ids)
+
+
 def _block_combo_masks(blocks: int, block_t: int) -> list[int]:
     """Signed-int64 masks, one per C(blocks, block_t) block combination.
 

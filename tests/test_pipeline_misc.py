@@ -655,3 +655,26 @@ def test_containment_max_postings_cap(spark):
         df, threshold=0.2, window=3, max_postings=5).toPandas()
     assert len(full) == 20  # 5*4 ordered pairs, each 1/4
     assert (full["containment"] == 0.25).all()
+
+
+def test_decontaminate(spark):
+    # train doc 10 embeds the benchmark 8-gram verbatim -> dropped;
+    # doc 11 shares only 7 consecutive tokens -> kept; doc 12 is
+    # disjoint and doc 13 empty -> kept. Case-insensitive (the
+    # benchmark is uppercased). The gated (non-broadcast) path must
+    # return identical survivors.
+    bench = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1], "text": ["ALPHA beta gamma delta epsilon zeta eta theta"]}))
+    train = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": [
+            "intro words alpha beta gamma delta epsilon zeta eta theta tail",
+            "alpha beta gamma delta epsilon zeta eta DIFFERENT",
+            "totally unrelated content here",
+            ""]}))
+    out = dedup.decontaminate(train, bench, window=8).toPandas()
+    assert sorted(out["doc_id"]) == [11, 12, 13]
+    gated = dedup.decontaminate(train, bench, window=8,
+                                broadcast_max_rows=0).toPandas()
+    assert sorted(gated["doc_id"]) == [11, 12, 13]
+    dedup.release_decontaminate_state()

@@ -17,6 +17,7 @@ def _release_all(spark):
     dedup.release_candidate_caches()
     dedup.release_survivors_state()
     dedup.release_component_labels()
+    dedup.release_decontaminate_state()
     similarity.release_session_index()
     spark.catalog.clearCache()
 

@@ -386,6 +386,23 @@ def run(spark, n: int) -> dict:
 
     step("shuffle_pack", _pack)
 
+    # benchmark decontamination with EXACT planted truth: bench =
+    # id % 1000 == 0 (the base of both planted dup classes), so every
+    # bench doc's exact copy (id+501) AND its 1-token mutant (id+1,
+    # which still shares the 5 windows untouched by the edit) are in
+    # training and must drop: survivors = n - 3n/1000 exactly.
+    def _decon():
+        bench = text.filter(F.col("doc_id") % 1000 == 0)
+        train = text.filter(F.col("doc_id") % 1000 != 0)
+        expected = n - 3 * (n // 1000)
+        out, walls = timed(lambda: dedup.decontaminate(
+            train, bench, window=8, spread=spread).count())
+        dedup.release_decontaminate_state()
+        return {"survivors": out, "expected": expected,
+                "exact": bool(out == expected), "walls": walls}
+
+    step("decontaminate", _decon)
+
     # embedding sign-LSH top-k (100 queries vs n vectors), buckets
     # SIZED to the corpus per the lsh_topk docstring: 48 planes / 6
     # bands = 8-bit keys (the 16/4 default is a <=10^5-row config -
@@ -587,7 +604,7 @@ def main() -> None:
     ratios = {}
     for name in ("flagship", "minhash_pairs", "simhash_pairs",
                  "containment", "span_dedup", "shuffle_pack",
-                 "lsh_topk", "geo_knn"):
+                 "decontaminate", "lsh_topk", "geo_knn"):
         ws, wb = out["small"][name]["walls"], out["big"][name]["walls"]
         r = round(min(wb) / min(ws), 1)
         ratios[name] = r
@@ -701,6 +718,15 @@ def main() -> None:
         f"answer): {out['big']['shuffle_pack']['bucket_invariant']} "
         f"at both scales (small: "
         f"{out['small']['shuffle_pack']['bucket_invariant']}).",
+        f"- Decontamination (8-token window overlap vs a 0.1% "
+        f"benchmark split): survivors EXACTLY match the planted truth "
+        f"(n - 3n/1000: each benchmark base's exact copy and 1-token "
+        f"mutant must drop) - "
+        f"{out['small']['decontaminate']['exact']} at {small:,} "
+        f"({out['small']['decontaminate']['survivors']:,}), "
+        f"{out['big']['decontaminate']['exact']} at {big:,} "
+        f"({out['big']['decontaminate']['survivors']:,}), "
+        f"{min(out['big']['decontaminate']['walls'])}s at 10M.",
         f"- lsh_topk recall@10 vs exact brute force (5 queries, sized "
         f"48-plane/6-band buckets): "
         f"{out['small']['lsh_topk'].get('recall_at_10')} at {small:,}, "
