@@ -76,6 +76,14 @@ def pack_sequences(df: DataFrame, budget: int, order_col: str,
     cumulative sum over the per-bucket totals - at most
     n_rows / bucket_size aggregated rows, broadcast back (the
     shuffle_rank recipe applied to a SUM instead of a COUNT).
+
+    Composition note: the offsets aggregate is a SECOND evaluation of
+    the input plan (a 1-column scan when the input is a table). When
+    chaining unmaterialized stages (chunk -> shuffle_rank -> pack),
+    each stage's aggregate re-derives the whole upstream pipeline -
+    persist or checkpoint the input frame between stages (the staged
+    parquet write production pipelines do anyway) to keep it one scan
+    per stage.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
