@@ -489,6 +489,14 @@ def _q_corpus_pack(spark, sf_dir):
                       "pack_offset")
 
 
+def _q_text_gopher(spark, sf_dir):
+    # The published Gopher web-filter rule set, one boolean per rule
+    # plus the conjunction - row-local integer-count ratios, so every
+    # threshold comparison replays bit-identically in SQL.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_metrics.gopher_quality_flags(d)
+
+
 def _q_corpus_decontaminate(spark, sf_dir):
     # Benchmark decontamination (test-set n-gram overlap removal):
     # docs with id % 10 == 0 act as the held-out benchmark; every
@@ -815,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shuffle_rank": _q_corpus_shuffle_rank,
         "corpus_pack": _q_corpus_pack,
         "corpus_decontaminate": _q_corpus_decontaminate,
+        "text_gopher_flags": _q_text_gopher,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
         "dedup_containment": _q_dedup_containment,
@@ -1372,6 +1381,65 @@ def oracle_sql() -> dict[str, str]:
                  CAST(least(40, len(ws) - ci * 32) AS BIGINT)
                    AS chunk_tokens
           FROM e
+        """,
+        # Gopher rules: every ratio is an integer-count division, so
+        # the boolean thresholds replay exactly; line rules over
+        # trimmed non-empty lines, vacuous at zero lines.
+        "text_gopher_flags": r"""
+          WITH b AS (
+            SELECT doc_id, trim(text) AS t,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents),
+          m AS (
+            SELECT doc_id, t, ws,
+                   CASE WHEN length(t) = 0 THEN 0 ELSE len(ws) END
+                     AS nw,
+                   list_filter(list_transform(
+                       string_split_regex(t, '\n'), x -> trim(x)),
+                     x -> length(x) > 0) AS lines
+            FROM b),
+          r AS (
+            SELECT doc_id, nw,
+                   CASE WHEN nw > 0 THEN
+                     CAST(list_sum(list_transform(ws,
+                         w -> length(w))) AS DOUBLE) / nw
+                   ELSE 0.0 END AS mwl,
+                   CASE WHEN nw > 0 THEN
+                     ((length(t) - length(replace(t, '#', '')))
+                      + (length(t) - length(replace(t, '...', ''))) / 3)
+                     / nw
+                   ELSE 0.0 END AS sym,
+                   len(lines) AS nl,
+                   len(list_filter(lines,
+                       x -> starts_with(x, '-') OR starts_with(x, '*')))
+                     AS bullet,
+                   len(list_filter(lines, x -> ends_with(x, '...')))
+                     AS elend,
+                   len(list_filter(ws,
+                       w -> regexp_matches(w, '[a-z]'))) AS alpha,
+                   len(list_intersect(list_distinct(ws),
+                       ['the', 'be', 'to', 'of', 'and', 'that',
+                        'have', 'with'])) AS swh
+            FROM m)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(nw AS BIGINT) AS n_words,
+                 nw BETWEEN 50 AND 100000 AS wc_ok,
+                 mwl BETWEEN 3.0 AND 10.0 AS mwl_ok,
+                 sym <= 0.1 AS symbol_ok,
+                 (nl = 0 OR CAST(bullet AS DOUBLE) / nl < 0.9)
+                   AS bullet_ok,
+                 (nl = 0 OR CAST(elend AS DOUBLE) / nl < 0.3)
+                   AS ellipsis_ok,
+                 (nw > 0 AND CAST(alpha AS DOUBLE) / nw >= 0.8)
+                   AS alpha_ok,
+                 swh >= 2 AS stopword_ok,
+                 (nw BETWEEN 50 AND 100000)
+                   AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1
+                   AND (nl = 0 OR CAST(bullet AS DOUBLE) / nl < 0.9)
+                   AND (nl = 0 OR CAST(elend AS DOUBLE) / nl < 0.3)
+                   AND (nw > 0 AND CAST(alpha AS DOUBLE) / nw >= 0.8)
+                   AND swh >= 2 AS gopher_pass
+          FROM r
         """,
         # decontamination: benchmark window-string set, training docs
         # sharing any window dropped - the same list-comprehension

@@ -678,3 +678,26 @@ def test_decontaminate(spark):
                                 broadcast_max_rows=0).toPandas()
     assert sorted(gated["doc_id"]) == [11, 12, 13]
     dedup.release_decontaminate_state()
+
+
+def test_gopher_quality_flags(spark):
+    from geeflow_spark.operators import text_metrics as tm
+    good = ("the quick brown fox and that dog have fun with all of it "
+            * 6)
+    bullets = "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\nplain"
+    dots = "one...\ntwo...\nthree fine\nfour fine"
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5],
+                         "text": [good, "# # # short", bullets, dots,
+                                  ""]})
+    out = tm.gopher_quality_flags(
+        spark.createDataFrame(docs), min_words=10).toPandas() \
+        .set_index("doc_id")
+    assert bool(out.loc[1, "gopher_pass"])
+    # symbol + alpha + stopword failures on the hash-spam doc
+    assert not out.loc[2, ["symbol_ok", "alpha_ok",
+                           "stopword_ok"]].any()
+    assert not out.loc[3, "bullet_ok"]      # 9/10 lines bulleted
+    assert not out.loc[4, "ellipsis_ok"]    # 2/4 lines end ...
+    assert out.loc[4, "bullet_ok"]
+    assert out.loc[5, "n_words"] == 0 and not out.loc[5, "wc_ok"]
+    assert bool(out.loc[5, "bullet_ok"])    # vacuous: zero lines
