@@ -64,3 +64,28 @@ def test_pack_sequences_prefix_math(spark):
     assert out["pack_offset"].tolist() == [0, 5, 2, 5, 0]
     with pytest.raises(ValueError):
         chunking.pack_sequences(None, budget=0, order_col="rank")
+
+
+@pytest.mark.parametrize("m,o", [(3, 0), (5, 2), (8, 3), (4, 1)])
+def test_chunk_reconstruction_property(spark, m, o):
+    # Lossless-coverage property over a seeded sweep of doc lengths
+    # 0..60: chunk 0's tokens plus every later chunk's tokens after
+    # dropping the first `o` (the overlap) reassemble the original
+    # token sequence exactly - no token lost, duplicated, or
+    # reordered, for any (max_tokens, overlap).
+    import numpy as np
+    rng = np.random.RandomState(7)
+    texts = [" ".join(f"w{rng.randint(100)}_{j}" for j in range(n))
+             for n in list(range(0, 15)) + list(rng.randint(15, 61, 40))]
+    out = _chunks(spark, texts, max_tokens=m, overlap=o)
+    for i, text in enumerate(texts):
+        orig = text.split() if text else [""]
+        chunks = out[out.doc_id == i].sort_values("chunk_id")
+        rebuilt = []
+        for j, ct in enumerate(chunks["chunk_text"]):
+            toks = ct.split(" ") if ct != "" or orig == [""] else []
+            rebuilt.extend(toks if j == 0 else toks[o:])
+        if orig == [""]:
+            assert chunks["chunk_text"].tolist() == [""]
+        else:
+            assert rebuilt == orig, (i, m, o)
