@@ -35,7 +35,7 @@ from geeflow_spark.functions import utm as _utm
 from geeflow_spark.functions import text as T
 from geeflow_spark.operators import dedup, knn, similarity, spatial_join, splits, tiles
 from geeflow_spark.operators import chunking, sampling, text_metrics
-from geeflow_spark.plans import generate, layout
+from geeflow_spark.plans import corpus, generate, layout
 from geeflow_spark.sources import catalog, derived, synth
 
 # ---------------------------------------------------------------------------
@@ -489,6 +489,33 @@ def _q_corpus_pack(spark, sf_dir):
                       "pack_offset")
 
 
+_E2E_CFG = {
+    "sample": {"fractions": {"en": 1.0, "de": 0.5}, "strata_col": "lang",
+               "default_fraction": 0.25, "seed": 7},
+    # the synthetic corpus has no English stopwords; the naturalness
+    # rule uses its own frequent function words (documented override)
+    "quality": {"min_words": 30,
+                "stopwords": ("scan", "column", "window", "order")},
+    "chunk": {"max_tokens": 40, "overlap": 8},
+    "shuffle": {"seed": 13, "n_buckets": 64},
+    "pack": {"budget": 128, "bucket_size": 256},
+}
+
+
+def _q_corpus_e2e(spark, sf_dir):
+    # The WHOLE config-driven corpus export chain - stratified sample
+    # -> Gopher quality gate -> chunk -> deterministic shuffle -> pack
+    # - built by plans/corpus.build_corpus_pipeline from one dict and
+    # replayed end-to-end by a single DuckDB oracle (md5 family
+    # throughout). The strongest composition check in the battery:
+    # any drift in any stage breaks the hash.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.build_corpus_pipeline(d, _E2E_CFG, hash_family="md5")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "chunk_id", "rank", "prefix_tokens", "pack_id",
+                      "pack_offset")
+
+
 def _q_text_gopher(spark, sf_dir):
     # The published Gopher web-filter rule set, one boolean per rule
     # plus the conjunction - row-local integer-count ratios, so every
@@ -824,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": _q_corpus_pack,
         "corpus_decontaminate": _q_corpus_decontaminate,
         "text_gopher_flags": _q_text_gopher,
+        "corpus_e2e": _q_corpus_e2e,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
         "dedup_containment": _q_dedup_containment,
@@ -1381,6 +1409,88 @@ def oracle_sql() -> dict[str, str]:
                  CAST(least(40, len(ws) - ci * 32) AS BIGINT)
                    AS chunk_tokens
           FROM e
+        """,
+        # the whole corpus chain in one replay: stratified-sample
+        # thresholds, the Gopher conjunction (corpus stopwords), chunk
+        # windows, the md5 permutation, and the pack prefix math.
+        "corpus_e2e": f"""
+          WITH samp AS (
+            SELECT doc_id, text FROM documents
+            WHERE (('0x' || substr(md5(lang || '|' ||
+                       CAST(doc_id AS VARCHAR) || ':7'), 1, 16))::UBIGINT
+                   % 9223372036854775808)
+                  < CASE lang
+                      WHEN 'en' THEN {sampling.threshold_u63(1.0)}
+                      WHEN 'de' THEN {sampling.threshold_u63(0.5)}
+                      ELSE {sampling.threshold_u63(0.25)} END),
+          g AS (
+            SELECT doc_id, trim(text) AS t,
+                   string_split_regex(lower(trim(text)), '\\s+') AS ws
+            FROM samp),
+          q AS (
+            SELECT doc_id, ws FROM (
+              SELECT doc_id, ws,
+                CASE WHEN length(t) = 0 THEN 0 ELSE len(ws) END AS nw,
+                CASE WHEN length(t) = 0 THEN 0.0 ELSE
+                  CAST(list_sum(list_transform(ws, w -> length(w)))
+                       AS DOUBLE) / len(ws) END AS mwl,
+                CASE WHEN length(t) = 0 THEN 0.0 ELSE
+                  ((length(t) - length(replace(t, '#', '')))
+                   + (length(t) - length(replace(t, '...', ''))) / 3)
+                  / len(ws) END AS sym,
+                list_filter(list_transform(string_split_regex(t, '\\n'),
+                    x -> trim(x)), x -> length(x) > 0) AS lines,
+                len(list_filter(ws,
+                    w -> regexp_matches(w, '[a-z]'))) AS alpha,
+                len(list_intersect(list_distinct(ws),
+                    ['scan', 'column', 'window', 'order'])) AS swh
+              FROM g) f
+            WHERE nw BETWEEN 30 AND 100000
+              AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1
+              AND (len(lines) = 0 OR
+                   CAST(len(list_filter(lines,
+                       x -> starts_with(x, '-') OR starts_with(x, '*')))
+                     AS DOUBLE) / len(lines) < 0.9)
+              AND (len(lines) = 0 OR
+                   CAST(len(list_filter(lines, x -> ends_with(x, '...')))
+                     AS DOUBLE) / len(lines) < 0.3)
+              AND (nw > 0 AND CAST(alpha AS DOUBLE) / nw >= 0.8)
+              AND swh >= 2),
+          c AS (
+            SELECT doc_id, ws,
+                   greatest(CAST(ceil((len(ws) - 8) / 32.0) AS BIGINT),
+                            1) AS nc
+            FROM q),
+          tok AS (
+            SELECT doc_id,
+                   unnest([i for i in range(0, nc)]) AS chunk_id,
+                   ws
+            FROM c),
+          tk AS (
+            SELECT doc_id, chunk_id,
+                   least(40, len(ws) - chunk_id * 32) AS t,
+                   CAST(doc_id AS VARCHAR) || '#' ||
+                     CAST(chunk_id AS VARCHAR) AS k
+            FROM tok),
+          rk AS (
+            SELECT doc_id, chunk_id, t,
+                   row_number() OVER (ORDER BY
+                     (('0x' || substr(md5(k || ':13'), 1, 16))::UBIGINT
+                      % 9223372036854775808), k) - 1 AS rank
+            FROM tk),
+          p AS (
+            SELECT doc_id, chunk_id, rank,
+                   COALESCE(SUM(t) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS prefix
+            FROM rk)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(chunk_id AS BIGINT) AS chunk_id,
+                 CAST(rank AS BIGINT) AS rank,
+                 CAST(prefix AS BIGINT) AS prefix_tokens,
+                 CAST(prefix // 128 AS BIGINT) AS pack_id,
+                 CAST(prefix % 128 AS BIGINT) AS pack_offset
+          FROM p
         """,
         # Gopher rules: every ratio is an integer-count division, so
         # the boolean thresholds replay exactly; line rules over

@@ -91,29 +91,10 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                     "with")
 
 
-def gopher_quality_flags(df: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id",
-                         min_words: int = 50, max_words: int = 100_000,
-                         ) -> DataFrame:
-    """Per-document Gopher quality rules (Rae et al. 2021, the
-    published web-filter rule set), one boolean per rule plus the
-    conjunction:
-
-      - wc_ok:       word count in [min_words, max_words]
-      - mwl_ok:      mean word length in [3, 10]
-      - symbol_ok:   (# + ellipsis occurrences) / words <= 0.1
-      - bullet_ok:   < 90% of lines start with a bullet ('-' or '*')
-      - ellipsis_ok: < 30% of lines end with '...'
-      - alpha_ok:    >= 80% of words contain an alphabetic character
-      - stopword_ok: >= 2 distinct stopwords of the Gopher set occur
-      - gopher_pass: all of the above
-
-    Entirely row-local JVM expressions (no UDF, no shuffle; one
-    codegen span over the scan). Every ratio is an integer-count
-    division, so thresholds replay bit-identically in SQL. Empty /
-    whitespace-only docs fail wc_ok (and pass the line rules
-    vacuously: zero lines).
-    """
+def _gopher_cols(text_col: str, min_words: int,
+                 max_words: int, stopwords=None) -> dict:
+    """The rule Columns, keyed by output name (shared by the
+    flags-frame operator and the row-local gopher_pass predicate)."""
     t = F.trim(F.col(text_col))
     words = F.split(F.lower(t), r"\s+")
     nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
@@ -134,7 +115,7 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
         lines, lambda x: x.startswith("-") | x.startswith("*")))
     ell_end = F.size(F.filter(lines, lambda x: x.endswith("...")))
     alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
-    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    sw = F.array(*[F.lit(w) for w in (stopwords or GOPHER_STOPWORDS)])
     sw_hits = F.size(F.array_intersect(F.array_distinct(words), sw))
     wc_ok = (nw >= min_words) & (nw <= max_words)
     mwl_ok = (mwl >= 3.0) & (mwl <= 10.0)
@@ -143,12 +124,49 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     ellipsis_ok = (nl == 0) | (ell_end.cast("double") / nl < 0.3)
     alpha_ok = (nw > 0) & (alpha.cast("double") / nw >= 0.8)
     stopword_ok = sw_hits >= 2
-    return df.select(
-        id_col,
-        nw.cast("long").alias("n_words"),
-        wc_ok.alias("wc_ok"), mwl_ok.alias("mwl_ok"),
-        symbol_ok.alias("symbol_ok"), bullet_ok.alias("bullet_ok"),
-        ellipsis_ok.alias("ellipsis_ok"), alpha_ok.alias("alpha_ok"),
-        stopword_ok.alias("stopword_ok"),
-        (wc_ok & mwl_ok & symbol_ok & bullet_ok & ellipsis_ok
-         & alpha_ok & stopword_ok).alias("gopher_pass"))
+    return {"n_words": nw.cast("long"), "wc_ok": wc_ok,
+            "mwl_ok": mwl_ok, "symbol_ok": symbol_ok,
+            "bullet_ok": bullet_ok, "ellipsis_ok": ellipsis_ok,
+            "alpha_ok": alpha_ok, "stopword_ok": stopword_ok,
+            "gopher_pass": (wc_ok & mwl_ok & symbol_ok & bullet_ok
+                            & ellipsis_ok & alpha_ok & stopword_ok)}
+
+
+def gopher_pass(text_col: str = "text", min_words: int = 50,
+                max_words: int = 100_000, stopwords=None):
+    """The Gopher conjunction as a row-local boolean Column - for
+    filtering in place (df.filter(gopher_pass())) with no join and no
+    extra pass; same expressions as gopher_quality_flags. `stopwords`
+    overrides the English Gopher set (domain corpora need their own
+    function-word list - the rule checks document naturalness, not
+    English membership)."""
+    return _gopher_cols(text_col, min_words, max_words,
+                        stopwords)["gopher_pass"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = 50, max_words: int = 100_000,
+                         stopwords=None) -> DataFrame:
+    """Per-document Gopher quality rules (Rae et al. 2021, the
+    published web-filter rule set), one boolean per rule plus the
+    conjunction:
+
+      - wc_ok:       word count in [min_words, max_words]
+      - mwl_ok:      mean word length in [3, 10]
+      - symbol_ok:   (# + ellipsis occurrences) / words <= 0.1
+      - bullet_ok:   < 90% of lines start with a bullet ('-' or '*')
+      - ellipsis_ok: < 30% of lines end with '...'
+      - alpha_ok:    >= 80% of words contain an alphabetic character
+      - stopword_ok: >= 2 distinct stopwords of the Gopher set occur
+      - gopher_pass: all of the above
+
+    Entirely row-local JVM expressions (no UDF, no shuffle; one
+    codegen span over the scan). Every ratio is an integer-count
+    division, so thresholds replay bit-identically in SQL. Empty /
+    whitespace-only docs fail wc_ok (and pass the line rules
+    vacuously: zero lines).
+    """
+    cols = _gopher_cols(text_col, min_words, max_words, stopwords)
+    return df.select(id_col,
+                     *[c.alias(name) for name, c in cols.items()])

@@ -1,0 +1,122 @@
+"""Config-driven corpus-pipeline front-end.
+
+The LLM-data sibling of plans/config.py (the geo config->plan
+front-end): one declarative dict builds the standard training-data
+export chain from the individually-tested operators, in the canonical
+order a production pipeline runs them:
+
+    sample -> quality (Gopher rules) -> dedup (near-dup survivors)
+    -> decontaminate -> chunk -> shuffle -> pack
+
+Every step is optional; present steps run in that fixed order (the
+order is part of the semantics: sampling first keeps every later
+stage's cost proportional to the kept fraction; dedup before
+decontamination avoids paying the benchmark join for docs a cheaper
+filter already dropped; chunking precedes the shuffle so the
+permutation is over chunks, not docs).
+
+All steps are deterministic (hash-keyed draws, content-keyed dedup),
+so the whole pipeline is reproducible across runs and cluster sizes -
+and, with hash_family="md5", replayable end-to-end in SQL (the
+corpus_e2e driver oracle does exactly that).
+
+Example config::
+
+    {
+      "sample": {"fractions": {"en": 1.0}, "strata_col": "lang",
+                 "default_fraction": 0.25, "seed": 7},
+      "quality": {"min_words": 30},
+      "dedup": {"num_perm": 64, "bands": 16, "verify_jaccard": 0.6},
+      "decontaminate": {"window": 8},       # needs benchmark=frame
+      "chunk": {"max_tokens": 512, "overlap": 64},
+      "shuffle": {"seed": 13},
+      "pack": {"budget": 4096},
+    }
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geeflow_spark.operators import chunking, dedup, sampling
+from geeflow_spark.operators import text_metrics
+
+_STEP_ORDER = ("sample", "quality", "dedup", "decontaminate", "chunk",
+               "shuffle", "pack")
+
+
+def build_corpus_pipeline(docs: DataFrame, cfg: dict,
+                          benchmark: DataFrame | None = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          hash_family: str = "xxh64") -> DataFrame:
+    """Runs the configured steps of the corpus export chain over
+    `docs` and returns the resulting DataFrame (chunk-level once a
+    "chunk" step is present, doc-level before). Unknown step names
+    raise; "decontaminate" requires the `benchmark` frame.
+    """
+    unknown = set(cfg) - set(_STEP_ORDER)
+    if unknown:
+        raise ValueError(f"unknown corpus pipeline steps: {sorted(unknown)}")
+    out = docs
+    chunked = False
+    if "sample" in cfg:
+        c = dict(cfg["sample"])
+        if "fractions" in c:
+            out = sampling.stratified_sample(
+                out, c["fractions"], strata_col=c["strata_col"],
+                key_col=id_col,
+                default_fraction=c.get("default_fraction", 0.0),
+                seed=c.get("seed", 0), hash_family=hash_family)
+        else:
+            out = sampling.hash_sample(
+                out, c["fraction"], key_col=id_col,
+                seed=c.get("seed", 0), hash_family=hash_family)
+    if "quality" in cfg:
+        # row-local predicate: no join, no extra pass - the Gopher
+        # conjunction filters in place inside the same codegen span.
+        out = out.filter(text_metrics.gopher_pass(
+            text_col=text_col, **cfg["quality"]))
+    if "dedup" in cfg:
+        c = dict(cfg["dedup"])
+        quality_col = c.pop("quality_col", None)
+        pairs = dedup.minhash_duplicate_pairs(out, text_col=text_col,
+                                              id_col=id_col, **c)
+        out = dedup.dedup_survivors(out, pairs, id_col=id_col,
+                                    quality_col=quality_col)
+    if "decontaminate" in cfg:
+        if benchmark is None:
+            raise ValueError("decontaminate step needs benchmark=frame")
+        out = dedup.decontaminate(out, benchmark, text_col=text_col,
+                                  id_col=id_col,
+                                  **cfg["decontaminate"])
+    if "chunk" in cfg:
+        out = chunking.chunk_documents(out, text_col=text_col,
+                                       id_col=id_col, **cfg["chunk"])
+        chunked = True
+    if "shuffle" in cfg:
+        c = dict(cfg["shuffle"])
+        if chunked:
+            out = out.withColumn(
+                "_k", F.concat_ws("#", F.col(id_col).cast("string"),
+                                  F.col("chunk_id").cast("string")))
+            key = "_k"
+        else:
+            key = id_col
+        out = sampling.shuffle_rank(out, key_col=key,
+                                    seed=c.get("seed", 0),
+                                    hash_family=hash_family,
+                                    n_buckets=c.get("n_buckets", 1024))
+        if chunked:
+            out = out.drop("_k")
+    if "pack" in cfg:
+        if "shuffle" not in cfg:
+            raise ValueError("pack step needs a shuffle step (rank "
+                             "order) before it")
+        out = chunking.pack_sequences(
+            out, budget=cfg["pack"]["budget"], order_col="rank",
+            tokens_col="chunk_tokens" if chunked else
+            cfg["pack"].get("tokens_col", "chunk_tokens"),
+            bucket_size=cfg["pack"].get("bucket_size", 1 << 20))
+    return out
