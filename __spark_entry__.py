@@ -524,6 +524,20 @@ def _q_text_gopher(spark, sf_dir):
     return text_metrics.gopher_quality_flags(d)
 
 
+def _q_text_c4_clean(spark, sf_dir):
+    # C4 line rules over a deterministically derived multi-line form
+    # of the corpus (the flat synthetic text has no newlines or
+    # punctuation, which would make every rule vacuous): ' spark '
+    # occurrences become sentence boundaries ('.' + newline), giving
+    # real variation - punctuated/unpunctuated tails, short lines.
+    # The oracle replays the derivation AND the rules.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lined = d.select("doc_id",
+                     F.replace(F.col("text"), F.lit(" spark "),
+                               F.lit(".\n")).alias("text"))
+    return text_metrics.c4_line_clean(lined)
+
+
 def _q_corpus_decontaminate(spark, sf_dir):
     # Benchmark decontamination (test-set n-gram overlap removal):
     # docs with id % 10 == 0 act as the held-out benchmark; every
@@ -851,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack": _q_corpus_pack,
         "corpus_decontaminate": _q_corpus_decontaminate,
         "text_gopher_flags": _q_text_gopher,
+        "text_c4_clean": _q_text_c4_clean,
         "corpus_e2e": _q_corpus_e2e,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
@@ -1409,6 +1424,38 @@ def oracle_sql() -> dict[str, str]:
                  CAST(least(40, len(ws) - ci * 32) AS BIGINT)
                    AS chunk_tokens
           FROM e
+        """,
+        # C4 line rules: derivation (sentence boundaries from a
+        # literal replace) + per-line keep conditions + page tells,
+        # all replayed; counts are integers so flags match exactly.
+        "text_c4_clean": r"""
+          WITH li AS (
+            SELECT doc_id,
+                   trim(replace(text, ' spark ', '.' || chr(10))) AS t
+            FROM documents),
+          m AS (
+            SELECT doc_id, t,
+                   list_filter(list_transform(
+                       string_split(t, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) AS lines
+            FROM li),
+          k AS (
+            SELECT doc_id, t, lines,
+                   list_filter(lines, x ->
+                     len(string_split_regex(x, '\s+')) >= 3
+                     AND NOT contains(lower(x), 'javascript')
+                     AND regexp_matches(x, '[.!?"]$')) AS kept
+            FROM m)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 COALESCE(array_to_string(kept, chr(10)), '')
+                   AS clean_text,
+                 CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                 CAST(len(lines) - len(kept) AS BIGINT)
+                   AS n_lines_dropped,
+                 (len(kept) >= 1
+                  AND NOT contains(lower(t), 'lorem ipsum')
+                  AND NOT contains(t, '{')) AS c4_keep
+          FROM k
         """,
         # the whole corpus chain in one replay: stratified-sample
         # thresholds, the Gopher conjunction (corpus stopwords), chunk

@@ -106,6 +106,7 @@ def run_queries(sf_dir: str) -> dict:
         "corpus_shuffle_rank", "corpus_pack", "corpus_decontaminate",
         "corpus_e2e",
         "text_token_counts", "text_repetition", "text_gopher_flags",
+        "text_c4_clean",
         "spans_explode", "src_s2_cloudfree_mosaic",
         "src_s2_quality_mosaic",
     ]

@@ -170,3 +170,46 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     cols = _gopher_cols(text_col, min_words, max_words, stopwords)
     return df.select(id_col,
                      *[c.alias(name) for name, c in cols.items()])
+
+
+def c4_line_clean(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", min_line_words: int = 3,
+                  min_lines: int = 1,
+                  require_terminal_punct: bool = True) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020): per
+    document, keep only lines that end in terminal punctuation
+    (. ! ? or a closing quote; `require_terminal_punct=False` skips
+    the check), have at least `min_line_words` words, and do not
+    mention 'javascript' (the boilerplate tell); rebuild the text
+    from the kept lines. Page-level flag `c4_keep`: at least
+    `min_lines` lines survived AND the original text contains neither
+    'lorem ipsum' nor a curly brace (the code/placeholder tells).
+
+    Output: (id, clean_text, n_lines_kept, n_lines_dropped, c4_keep).
+    Entirely row-local JVM array expressions - no UDF, no shuffle,
+    one codegen span; every count is an integer, so the flags replay
+    bit-identically in SQL.
+    """
+    t = F.trim(F.col(text_col))
+    lines = F.filter(F.transform(F.split(t, r"\n"),
+                                 lambda x: F.trim(x)),
+                     lambda x: F.length(x) > 0)
+
+    def _ok(x):
+        cond = (F.size(F.split(x, r"\s+")) >= min_line_words) & \
+            (~F.lower(x).contains("javascript"))
+        if require_terminal_punct:
+            cond = cond & x.rlike('[.!?"]$')
+        return cond
+
+    kept = F.filter(lines, _ok)
+    nk = F.size(kept)
+    page_ok = (nk >= min_lines) \
+        & (~F.lower(t).contains("lorem ipsum")) \
+        & (~t.contains("{"))
+    return df.select(
+        id_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        nk.cast("long").alias("n_lines_kept"),
+        (F.size(lines) - nk).cast("long").alias("n_lines_dropped"),
+        page_ok.alias("c4_keep"))

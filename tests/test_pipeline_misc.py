@@ -701,3 +701,33 @@ def test_gopher_quality_flags(spark):
     assert out.loc[4, "bullet_ok"]
     assert out.loc[5, "n_words"] == 0 and not out.loc[5, "wc_ok"]
     assert bool(out.loc[5, "bullet_ok"])    # vacuous: zero lines
+
+
+def test_c4_line_clean(spark):
+    from geeflow_spark.operators import text_metrics as tm
+    doc1 = ("Good first sentence here.\n"
+            "no terminal punct line\n"
+            "Too short.\n"
+            "Uses javascript for menus.\n"
+            "Another keeper with a question mark?\n")
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": [doc1,
+                                  "Lorem ipsum dolor sit amet.",
+                                  "var x = { a: 1 }; fine sentence."]})
+    out = tm.c4_line_clean(spark.createDataFrame(docs)) \
+        .toPandas().set_index("doc_id")
+    # doc 1: keeps the two punctuated >=3-word non-js lines
+    assert out.loc[1, "clean_text"] == (
+        "Good first sentence here.\n"
+        "Another keeper with a question mark?")
+    assert out.loc[1, "n_lines_kept"] == 2
+    assert out.loc[1, "n_lines_dropped"] == 3
+    assert bool(out.loc[1, "c4_keep"])
+    # page tells: lorem ipsum and curly brace fail the page
+    assert not out.loc[2, "c4_keep"]
+    assert not out.loc[3, "c4_keep"]
+    # punct check off: the bare line qualifies too
+    relaxed = tm.c4_line_clean(
+        spark.createDataFrame(docs), require_terminal_punct=False) \
+        .toPandas().set_index("doc_id")
+    assert relaxed.loc[1, "n_lines_kept"] == 3
