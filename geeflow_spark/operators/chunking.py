@@ -24,14 +24,17 @@ from pyspark.sql import functions as F
 
 def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
                     text_col: str = "text", id_col: str = "doc_id",
-                    ) -> DataFrame:
+                    carry_cols: tuple = ()) -> DataFrame:
     """(id, chunk_id, chunk_text, chunk_tokens): `text_col` split on
     whitespace into windows of at most `max_tokens` tokens, chunk i
     starting at token i * (max_tokens - overlap). Every document
     yields at least one chunk (shorter docs pass through whole; empty
     text yields one empty chunk - no rows are silently dropped).
     chunk_id is 0-based and dense per document; chunk order reproduces
-    the original token order.
+    the original token order. `carry_cols` names extra input columns
+    to keep on every chunk row (e.g. the mix epoch tag - without it,
+    epoch copies of a doc would collapse to identical (id, chunk_id)
+    rows downstream).
     """
     if not 0 <= overlap < max_tokens:
         raise ValueError(
@@ -42,12 +45,13 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
     start = F.col("_ci") * stride + 1  # slice() is 1-based
+    carry = [F.col(c) for c in carry_cols]
     return (df
-            .select(F.col(id_col), ws.alias("_ws"))
-            .select(id_col, "_ws",
+            .select(F.col(id_col), *carry, ws.alias("_ws"))
+            .select(id_col, *carry, "_ws",
                     F.explode(F.sequence(F.lit(0), (n_chunks - 1)
                                          .cast("int"))).alias("_ci"))
-            .select(id_col,
+            .select(id_col, *carry,
                     F.col("_ci").cast("long").alias("chunk_id"),
                     F.concat_ws(" ", F.slice("_ws", start, max_tokens))
                     .alias("chunk_text"),

@@ -6,7 +6,7 @@ export chain from the individually-tested operators, in the canonical
 order a production pipeline runs them:
 
     sample -> quality (Gopher rules) -> dedup (near-dup survivors)
-    -> decontaminate -> chunk -> shuffle -> pack
+    -> decontaminate -> mix (epoch rates) -> chunk -> shuffle -> pack
 
 Every step is optional; present steps run in that fixed order (the
 order is part of the semantics: sampling first keeps every later
@@ -42,8 +42,8 @@ from pyspark.sql import functions as F
 from geeflow_spark.operators import chunking, dedup, sampling
 from geeflow_spark.operators import text_metrics
 
-_STEP_ORDER = ("sample", "quality", "dedup", "decontaminate", "chunk",
-               "shuffle", "pack")
+_STEP_ORDER = ("sample", "quality", "dedup", "decontaminate", "mix",
+               "chunk", "shuffle", "pack")
 
 
 def build_corpus_pipeline(docs: DataFrame, cfg: dict,
@@ -91,16 +91,29 @@ def build_corpus_pipeline(docs: DataFrame, cfg: dict,
         out = dedup.decontaminate(out, benchmark, text_col=text_col,
                                   id_col=id_col,
                                   **cfg["decontaminate"])
+    if "mix" in cfg:
+        # after dedup/decontamination (epochs of a clean corpus),
+        # before chunking (the epoch column rides into the chunks).
+        c = dict(cfg["mix"])
+        out = sampling.mix_corpus(
+            out, c["rates"], strata_col=c.get("strata_col", "source"),
+            key_col=id_col, default_rate=c.get("default_rate", 1.0),
+            seed=c.get("seed", 0), hash_family=hash_family)
+    mixed = "mix" in cfg
     if "chunk" in cfg:
-        out = chunking.chunk_documents(out, text_col=text_col,
-                                       id_col=id_col, **cfg["chunk"])
+        out = chunking.chunk_documents(
+            out, text_col=text_col, id_col=id_col,
+            carry_cols=("epoch",) if mixed else (), **cfg["chunk"])
         chunked = True
     if "shuffle" in cfg:
         c = dict(cfg["shuffle"])
-        if chunked:
-            out = out.withColumn(
-                "_k", F.concat_ws("#", F.col(id_col).cast("string"),
-                                  F.col("chunk_id").cast("string")))
+        if chunked or mixed:
+            parts = [F.col(id_col).cast("string")]
+            if mixed:
+                parts.append(F.col("epoch").cast("string"))
+            if chunked:
+                parts.append(F.col("chunk_id").cast("string"))
+            out = out.withColumn("_k", F.concat_ws("#", *parts))
             key = "_k"
         else:
             key = id_col
@@ -108,7 +121,7 @@ def build_corpus_pipeline(docs: DataFrame, cfg: dict,
                                     seed=c.get("seed", 0),
                                     hash_family=hash_family,
                                     n_buckets=c.get("n_buckets", 1024))
-        if chunked:
+        if chunked or mixed:
             out = out.drop("_k")
     if "pack" in cfg:
         if "shuffle" not in cfg:

@@ -78,3 +78,31 @@ def test_corpus_pipeline_validation(spark):
         corpus.build_corpus_pipeline(docs, {"pack": {"budget": 8}})
     with pytest.raises(ValueError, match="benchmark"):
         corpus.build_corpus_pipeline(docs, {"decontaminate": {}})
+
+
+def test_corpus_pipeline_mix_step_epochs_survive_chunking(spark):
+    # mix rate 2.0 for en: every en doc appears as epochs 0 and 1,
+    # the epoch rides into the chunks (carry_cols), and the shuffle
+    # key includes it - so ranks stay a dense permutation instead of
+    # epoch copies collapsing to identical rows.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .filter(F.col("doc_id") < 40)
+    cfg = {"mix": {"rates": {"en": 2.0}, "strata_col": "lang",
+                   "default_rate": 1.0, "seed": 5},
+           "chunk": {"max_tokens": 32, "overlap": 0},
+           "shuffle": {"seed": 2, "n_buckets": 8},
+           "pack": {"budget": 64, "bucket_size": 16}}
+    out = corpus.build_corpus_pipeline(docs, cfg).toPandas()
+    n_en = docs.filter(F.col("lang") == "en").count()
+    base_chunks = corpus.build_corpus_pipeline(
+        docs, {"chunk": cfg["chunk"]}).toPandas()
+    en_chunks = len(base_chunks.merge(
+        docs.filter(F.col("lang") == "en").select("doc_id").toPandas(),
+        on="doc_id"))
+    assert n_en > 0 and en_chunks > 0
+    assert len(out) == len(base_chunks) + en_chunks
+    assert sorted(out["rank"]) == list(range(len(out)))
+    assert set(out.columns) >= {"epoch", "chunk_id", "rank", "pack_id"}
+    en_ids = set(docs.filter(F.col("lang") == "en")
+                 .toPandas()["doc_id"])
+    assert set(out[out.doc_id.isin(en_ids)]["epoch"]) == {0, 1}
