@@ -1454,7 +1454,8 @@ def oracle_sql() -> dict[str, str]:
                    AS n_lines_dropped,
                  (len(kept) >= 1
                   AND NOT contains(lower(t), 'lorem ipsum')
-                  AND NOT contains(t, '{')) AS c4_keep
+                  AND NOT contains(t, '{')
+                  AND NOT contains(t, '}')) AS c4_keep
           FROM k
         """,
         # the whole corpus chain in one replay: stratified-sample

@@ -29,7 +29,9 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
     whitespace into windows of at most `max_tokens` tokens, chunk i
     starting at token i * (max_tokens - overlap). Every document
     yields at least one chunk (shorter docs pass through whole; empty
-    text yields one empty chunk - no rows are silently dropped).
+    or NULL text yields one empty chunk - no rows are silently
+    dropped, and chunk_tokens never goes negative: size(NULL) is -1
+    under non-ANSI Spark, so NULL text is coalesced to '' first).
     chunk_id is 0-based and dense per document; chunk order reproduces
     the original token order. `carry_cols` names extra input columns
     to keep on every chunk row (e.g. the mix epoch tag - without it,
@@ -40,7 +42,7 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
         raise ValueError(
             f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
     stride = max_tokens - overlap
-    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    ws = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n = F.size("_ws")
     n_chunks = F.greatest(
         F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
@@ -91,11 +93,10 @@ def pack_sequences(df: DataFrame, budget: int, order_col: str,
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    from geeflow_spark.operators.sampling import bucket_offsets
     d = df.withColumn("_b", F.expr(f"{order_col} div {bucket_size}"))
     totals = d.groupBy("_b").agg(F.sum(tokens_col).alias("_t"))
-    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_b", F.coalesce(F.sum("_t").over(w), F.lit(0)).alias("_off"))
+    offsets = bucket_offsets(totals, "_b", "_t")
     lw = (Window.partitionBy("_b").orderBy(order_col)
           .rowsBetween(Window.unboundedPreceding, -1))
     return (d.withColumn("_lp", F.coalesce(F.sum(tokens_col).over(lw),

@@ -732,12 +732,17 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
             members = comp.join(
                 docs.select(F.col(id_col).alias("_n"),
                             F.col(quality_col).alias("_q")), "_n")
-            win = (members.groupBy("_l")
-                   .agg(F.max_by("_n", F.struct(
-                       F.col("_q"), (-F.col("_n")).alias("_ni")))
-                       .alias("_w")))
-            drop = (members.join(win, "_l")
-                    .filter(F.col("_n") != F.col("_w"))
+            # (quality DESC, id ASC) rank-1 via a window, NOT
+            # max_by(struct(q, -id)): negation only inverts NUMERIC
+            # ids - a string id (synth.docs 'doc%010d' style) would
+            # cast to NULL and make the tie-break nondeterministic.
+            # The window orders any orderable id type, and its sort
+            # is per component member set, not per corpus.
+            ww = Window.partitionBy("_l").orderBy(
+                F.col("_q").desc_nulls_last(), F.col("_n").asc())
+            drop = (members
+                    .withColumn("_rk", F.row_number().over(ww))
+                    .filter(F.col("_rk") > 1)
                     .select(F.col("_n").alias(id_col)))
         drop = drop.localCheckpoint(eager=False)
         # ONE job materializes the lazy checkpoint AND counts it (the
@@ -975,27 +980,35 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
              .filter(F.col("_f").isNotNull())
              .distinct()
              .localCheckpoint(eager=False))
-    before = _persistent_rdd_ids(sc)
-    n_bench = int(bench.count())
-    bench_ids = _persistent_rdd_ids(sc) - before
-    try:
-        dfp = _text.rolling_fingerprints(F.col(text_col), window)
-        exploded = (_spread(docs, spread)
-                    .select(F.col(id_col), dfp.alias("_fp"))
-                    .select(id_col, F.explode_outer("_fp").alias("_f"))
-                    .filter(F.col("_f").isNotNull()))
-        rhs = F.broadcast(bench) if n_bench <= broadcast_max_rows \
-            else bench
-        pre = _persistent_rdd_ids(sc)
-        bad = (exploded.join(rhs, "_f", "left_semi")
-               .select(id_col).distinct()
-               .localCheckpoint(eager=True))
-        with _cache_lock:
-            _decontaminate_live_ids.update(_persistent_rdd_ids(sc) - pre
-                                           - bench_ids)
-        return docs.join(bad, id_col, "left_anti")
-    finally:
-        _release_rdds(sc, bench_ids)
+    # BOTH persistent-RDD-id diff windows run under _cc_lock: the
+    # module invariant (see _cc_lock) is that context-wide checkpoint
+    # diffs are serialized - without it, a concurrent dedup_survivors
+    # call's drop-list blocks could land in bench_ids and be released
+    # here (killing that caller's truncated-lineage result), or this
+    # call's blocks could land in the other's sweep.
+    with _cc_lock:
+        before = _persistent_rdd_ids(sc)
+        n_bench = int(bench.count())
+        bench_ids = _persistent_rdd_ids(sc) - before
+        try:
+            dfp = _text.rolling_fingerprints(F.col(text_col), window)
+            exploded = (_spread(docs, spread)
+                        .select(F.col(id_col), dfp.alias("_fp"))
+                        .select(id_col,
+                                F.explode_outer("_fp").alias("_f"))
+                        .filter(F.col("_f").isNotNull()))
+            rhs = F.broadcast(bench) if n_bench <= broadcast_max_rows \
+                else bench
+            pre = _persistent_rdd_ids(sc)
+            bad = (exploded.join(rhs, "_f", "left_semi")
+                   .select(id_col).distinct()
+                   .localCheckpoint(eager=True))
+            with _cache_lock:
+                _decontaminate_live_ids.update(
+                    _persistent_rdd_ids(sc) - pre - bench_ids)
+            return docs.join(bad, id_col, "left_anti")
+        finally:
+            _release_rdds(sc, bench_ids)
 
 
 def _block_combo_masks(blocks: int, block_t: int) -> list[int]:

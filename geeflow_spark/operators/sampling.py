@@ -136,6 +136,21 @@ def mix_corpus(df: DataFrame, rates: dict[str, float],
             .drop("_copies"))
 
 
+def bucket_offsets(per_bucket: DataFrame, bucket_col: str,
+                   val_col: str, out_col: str = "_off") -> DataFrame:
+    """(bucket, exclusive cumulative sum of val over bucket order) -
+    the shared offsets stage of the bucketed global-order machinery
+    (shuffle_rank's COUNT form, pack_sequences' SUM form). The window
+    runs over the already-aggregated per-bucket frame - at most
+    n_buckets rows, single-partition by construction and bounded by
+    construction; callers broadcast the result back."""
+    w = Window.orderBy(bucket_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return per_bucket.select(
+        bucket_col,
+        F.coalesce(F.sum(val_col).over(w), F.lit(0)).alias(out_col))
+
+
 def shuffle_rank(df: DataFrame, key_col: str = "doc_id", seed: int = 0,
                  hash_family: str = "xxh64", out_col: str = "rank",
                  n_buckets: int = 1024) -> DataFrame:
@@ -160,11 +175,7 @@ def shuffle_rank(df: DataFrame, key_col: str = "doc_id", seed: int = 0,
     d = df.withColumn("_d", draw) \
           .withColumn("_b", F.expr(f"_d div {width}"))
     counts = d.groupBy("_b").agg(F.count("*").alias("_c"))
-    # cumulative offsets: a window over <= n_buckets aggregated rows -
-    # single-partition by construction, and bounded by construction.
-    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_b", F.coalesce(F.sum("_c").over(w), F.lit(0)).alias("_off"))
+    offsets = bucket_offsets(counts, "_b", "_c")
     lw = Window.partitionBy("_b").orderBy("_d", key_col)
     return (d.withColumn("_lr", F.row_number().over(lw))
             .join(F.broadcast(offsets), "_b")

@@ -332,14 +332,29 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
     qb = q.select(query_id,
                   F.explode(_probe_udf(index.centroids, nprobe)
                             (F.col("_qv"))).alias("_c"))
-    # Only the DISTINCT probed-centroid set crosses to the driver -
-    # bounded by n_centroids, NOT by |queries| * nprobe, so a large
-    # per-batch query frame can't OOM the driver. qb itself stays
-    # distributed: it is broadcast below, which evaluates its (cheap,
-    # query-side) probe UDF exactly once at broadcast build - no
-    # persist to leak on error or to unpersist before downstream
-    # actions re-run the plan (the r4 recompute-per-action gap). The
-    # distinct collect is the one extra evaluation, also query-sized.
+    # ONE evaluation of the query-side probe plan, pinned: the
+    # distinct-collect (partition filter) and the broadcast build
+    # below must see the SAME probed set - if `queries` rides a
+    # nondeterministic plan (sample, unordered limit, changing
+    # source), two evaluations could disagree and a query would
+    # silently probe a centroid missing from the pruned lists. The
+    # eager localCheckpoint is query-sized (|q| x nprobe rows,
+    # executor-side - the driver still only receives the distinct
+    # centroid set, bounded by n_centroids). Block lifetime follows
+    # the candidate-cache contract: each probe releases the previous
+    # probe's pin; release_probe_state() sweeps at session end.
+    from geeflow_spark.operators.dedup import (_cc_lock,
+                                               _persistent_rdd_ids)
+    release_probe_state()
+    sc = queries.sparkSession.sparkContext
+    # the id diff runs under dedup's _cc_lock - the module-family
+    # invariant that context-wide checkpoint diffs are serialized
+    # (a concurrent dedup caller's blocks must not land in this pin).
+    with _cc_lock:
+        before = _persistent_rdd_ids(sc)
+        qb = qb.localCheckpoint(eager=True)
+        with _ivf_lock:
+            _probe_pin_ids.update(_persistent_rdd_ids(sc) - before)
     probed = sorted(r["_c"]
                     for r in qb.select("_c").distinct().collect())
     lists = index.lists.filter(F.col("_c").isin(probed)) \
@@ -414,6 +429,26 @@ def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
 
 
 _live_ivf_index: IVFIndex | None = None
+
+# qb pins from ivf_probe (one eager localCheckpoint per probe; each
+# call releases the previous call's pin - same contract as the dedup
+# candidate caches). Results returned by a probe stay correct after
+# release but lose the single-evaluation guarantee on recompute, so
+# consume each probe result before the next probe call.
+_probe_pin_ids: set = set()
+
+
+def release_probe_state() -> None:
+    """Releases the query-side probe checkpoint of the previous
+    ivf_probe call (no-op when none is live)."""
+    from pyspark import SparkContext
+
+    from geeflow_spark.operators.dedup import _release_rdds
+    with _ivf_lock:
+        sc = SparkContext._active_spark_context
+        if sc is not None and _probe_pin_ids:
+            _release_rdds(sc, set(_probe_pin_ids))
+        _probe_pin_ids.clear()
 
 
 def release_session_index() -> None:

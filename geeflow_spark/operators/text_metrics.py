@@ -206,7 +206,7 @@ def c4_line_clean(df: DataFrame, text_col: str = "text",
     nk = F.size(kept)
     page_ok = (nk >= min_lines) \
         & (~F.lower(t).contains("lorem ipsum")) \
-        & (~t.contains("{"))
+        & (~t.contains("{")) & (~t.contains("}"))
     return df.select(
         id_col,
         F.array_join(kept, "\n").alias("clean_text"),

@@ -27,11 +27,26 @@ Structured Streaming cannot express natively):
      AND dropped - transitive chains need the dropped ones) append to
      `state_dir`.
 
-First-arrival-wins caveat: when a LATER batch delivers a smaller id
-than an already-kept member of the same component, the earlier
-arrival stays (its output is already committed). With id-ordered
-arrival - the natural stream order - the result is row-identical to
-batch dedup_survivors over the union of all batches (tested).
+First-arrival-wins contract (append-only streams cannot retract
+committed output; this is the standard streaming relaxation, NOT full
+batch equivalence):
+
+  - when a LATER batch delivers a smaller id than an already-kept
+    member of the same component, the earlier arrival stays;
+  - when a later doc BRIDGES two components that each already
+    committed a survivor (hamming(a, c) and hamming(b, c) within the
+    radius while hamming(a, b) is not - the triangle inequality
+    permits this), both earlier survivors stay and only the bridge
+    doc drops; batch dedup_survivors over the union would keep one.
+
+Both cases over-KEEP, never over-drop: every streamed survivor set is
+a superset of the batch survivor set containing >= 1 member per
+component. On corpora where every component is fully delivered before
+a bridging doc arrives - in particular when no bridge exists, e.g.
+components are cliques of radius <= max_hamming/2 - the result is
+row-identical to batch dedup_survivors over the union of all batches
+(both properties tested: the cross-batch chain case and the planted
+bridge case).
 """
 
 from __future__ import annotations
@@ -97,25 +112,36 @@ def survivors_foreach_batch(state_dir: str, out_dir: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sc = spark.sparkContext
-        before = dedup._persistent_rdd_ids(sc)
-        # One signature pass per batch, materialized: consumed by the
-        # pair join, the survivor anti-join, and the state append.
-        sigs_new = (batch_df
-                    .select(F.col(id_col), sim(F.col(text_col))
-                            .alias("_h"))
-                    .localCheckpoint())
-        sig_ids = dedup._persistent_rdd_ids(sc) - before
-        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-            seen = spark.read.parquet(state_dir)
-        else:
-            seen = spark.createDataFrame([], sigs_new.schema)
-        sigs_all = (sigs_new.withColumn("_new", F.lit(True))
-                    .unionByName(seen.withColumn("_new", F.lit(False))))
-        pairs = _pairs_vs_state(sigs_all, id_col, blocks, block_t,
-                                max_hamming)
-        pre_cc = dedup._persistent_rdd_ids(sc)
-        comp = dedup.connected_components(pairs)
-        cc_ids = dedup._persistent_rdd_ids(sc) - pre_cc
+        # BOTH block-accounting windows run under _cc_lock (the
+        # module invariant: context-wide persistent-RDD diffs must be
+        # serialized - unlocked, a concurrent dedup_survivors /
+        # decontaminate call's blocks could land in this batch's diff
+        # and be released below, killing that caller's result). The
+        # CC ids come straight from the locked internal API instead
+        # of a global diff around the public call.
+        with dedup._cc_lock:
+            before = dedup._persistent_rdd_ids(sc)
+            # One signature pass per batch, materialized: consumed by
+            # the pair join, the survivor anti-join, and the state
+            # append.
+            sigs_new = (batch_df
+                        .select(F.col(id_col), sim(F.col(text_col))
+                                .alias("_h"))
+                        .localCheckpoint())
+            sig_ids = dedup._persistent_rdd_ids(sc) - before
+            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+                seen = spark.read.parquet(state_dir)
+            else:
+                seen = spark.createDataFrame([], sigs_new.schema)
+            sigs_all = (sigs_new.withColumn("_new", F.lit(True))
+                        .unionByName(seen.withColumn("_new",
+                                                     F.lit(False))))
+            pairs = _pairs_vs_state(sigs_all, id_col, blocks, block_t,
+                                    max_hamming)
+            labels, cc_ids = dedup._connected_components_locked(
+                pairs, "a", "b", 50)
+        comp = labels.select(F.col("_n").alias("id"),
+                             F.col("_l").alias("component"))
         # components containing ANY previously-seen doc already have a
         # committed survivor - every batch member of those drops; in
         # fresh components the canonical min-id member survives
@@ -135,12 +161,12 @@ def survivors_foreach_batch(state_dir: str, out_dir: str,
         # then the state append, then release this batch's CC blocks.
         survivors.write.mode("append").parquet(out_dir)
         sigs_new.write.mode("append").parquet(state_dir)
-        # Release ONLY this batch's blocks (the label set CC returned
-        # plus the signature checkpoint) - a targeted id diff, not the
-        # global release_component_labels() sweep, so a session
-        # holding other CC results alongside the stream is safe.
-        with dedup._cc_lock:
-            dedup._cc_returned_ids -= cc_ids
+        # Release ONLY this batch's blocks (the label set the locked
+        # CC call returned plus the signature checkpoint) - targeted
+        # ids, not the global release_component_labels() sweep, so a
+        # session holding other CC results alongside the stream is
+        # safe. (The internal API does not register in
+        # _cc_returned_ids, so there is nothing to deregister.)
         dedup._release_rdds(sc, cc_ids | sig_ids)
 
     return process

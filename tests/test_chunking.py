@@ -89,3 +89,16 @@ def test_chunk_reconstruction_property(spark, m, o):
             assert chunks["chunk_text"].tolist() == [""]
         else:
             assert rebuilt == orig, (i, m, o)
+
+
+def test_chunk_null_text(spark):
+    # NULL text must behave like empty text: one empty chunk with
+    # chunk_tokens >= 0 (size(NULL) is -1 under non-ANSI Spark - a
+    # -1 would silently shift every later pack prefix).
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [None, "two words"]}))
+    out = chunking.chunk_documents(df, max_tokens=4).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "chunk_text"] == ""
+    assert out.loc[0, "chunk_tokens"] >= 0
+    assert (out["chunk_tokens"] >= 0).all()

@@ -713,7 +713,7 @@ def test_c4_line_clean(spark):
     docs = pd.DataFrame({"doc_id": [1, 2, 3],
                          "text": [doc1,
                                   "Lorem ipsum dolor sit amet.",
-                                  "var x = { a: 1 }; fine sentence."]})
+                                  "closing brace only } fine sentence."]})
     out = tm.c4_line_clean(spark.createDataFrame(docs)) \
         .toPandas().set_index("doc_id")
     # doc 1: keeps the two punctuated >=3-word non-js lines
@@ -731,3 +731,25 @@ def test_c4_line_clean(spark):
         spark.createDataFrame(docs), require_terminal_punct=False) \
         .toPandas().set_index("doc_id")
     assert relaxed.loc[1, "n_lines_kept"] == 3
+
+
+def test_dedup_survivors_quality_string_ids(spark):
+    # The (quality DESC, id ASC) tie-break must hold for STRING doc
+    # ids too (negating a string id casts to NULL and silently breaks
+    # argmax determinism - the bug this pins).
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["doc02", "doc01", "doc03", "doc09"],
+        "text": list("abcd"),
+        "q": [7.0, 7.0, 9.0, 1.0]}))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"a": ["doc01", "doc02"], "b": ["doc02", "doc03"]}))
+    out = dedup.dedup_survivors(docs, pairs, quality_col="q").toPandas()
+    # component {doc01,doc02,doc03}: doc03 wins on quality
+    assert sorted(out["doc_id"]) == ["doc03", "doc09"]
+    # quality tie between doc01/doc02 alone -> min id wins
+    pairs2 = spark.createDataFrame(pd.DataFrame(
+        {"a": ["doc01"], "b": ["doc02"]}))
+    out2 = dedup.dedup_survivors(docs, pairs2,
+                                 quality_col="q").toPandas()
+    assert sorted(out2["doc_id"]) == ["doc01", "doc03", "doc09"]
+    dedup.release_survivors_state()

@@ -19,6 +19,7 @@ def _release_all(spark):
     dedup.release_component_labels()
     dedup.release_decontaminate_state()
     similarity.release_session_index()
+    similarity.release_probe_state()
     spark.catalog.clearCache()
 
 
@@ -31,10 +32,18 @@ def test_full_battery_twice_no_storage_creep(spark):
     sc = spark.sparkContext
     base = dedup._persistent_rdd_ids(sc)
 
+    import time
+
     for pass_no in (1, 2):
         for name, fn in qs.items():
             fn(spark, SF_DIR).write.format("noop") \
                 .mode("overwrite").save()
         _release_all(spark)
+        # one bounded settle-retry: unpersist(blocking=False) calls
+        # issued by the release sweep can still be draining through
+        # the block manager when the registry is read.
         leaked = dedup._persistent_rdd_ids(sc) - base
+        if leaked:
+            time.sleep(3)
+            leaked = dedup._persistent_rdd_ids(sc) - base
         assert not leaked, (pass_no, leaked)

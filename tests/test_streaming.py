@@ -259,3 +259,82 @@ def test_stream_corpus_filter_pipeline_matches_batch(spark, tmp_path):
         .reset_index(drop=True)
     assert len(got) == len(exp) > 0
     assert got.equals(exp)
+
+
+def test_stream_survivors_bridge_doc_overkeeps_documented(spark,
+                                                          tmp_path):
+    # The documented append-only relaxation: a batch-3 doc C bridging
+    # two committed components (hamming(A,C) <= 3 and hamming(B,C)
+    # <= 3 while hamming(A,B) > 3) drops, but BOTH earlier survivors
+    # stay - the streamed set is a strict superset of the batch
+    # answer (which keeps only the min id of {A,B,C}), and never
+    # over-drops. The triple is found by a seeded search over token
+    # variants of one base text.
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    from geeflow_spark.operators import dedup
+    from geeflow_spark.streaming import survivors_stream
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(400)]
+    base = list(rng.choice(vocab, 30))
+    variants = [" ".join(base)]
+    for _ in range(60):
+        v = list(base)
+        for pos in rng.choice(30, rng.integers(1, 4), replace=False):
+            v[pos] = vocab[int(rng.integers(400))]
+        variants.append(" ".join(v))
+    sig_df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(variants)), "text": variants}))
+    sigs = {r["i"]: r["h"] for r in sig_df.select(
+        "i", dedup.simhash_udf(2)(F.col("text")).alias("h")).collect()}
+
+    def ham(a, b):
+        return bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+
+    triple = next(((a, b, c)
+                   for a, b, c in itertools.permutations(sigs, 3)
+                   if a < b and ham(a, b) > 3
+                   and ham(a, c) <= 3 and ham(b, c) <= 3), None)
+    assert triple is not None, "seeded search found no bridge triple"
+    a, b, c = triple
+
+    land = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    params = dict(shingle_k=2, blocks=6, block_t=3, max_hamming=3)
+    filler = " ".join(rng.choice(vocab, 30))
+    batches = [[("docA", variants[a])],
+               [("docB", variants[b]), ("docF", filler)],
+               [("docC", variants[c])]]
+    schema = None
+    for rows in batches:
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"]))
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(land)
+        q = survivors_stream.start_survivors_stream(
+            spark.readStream.schema(schema).parquet(land),
+            state, out, ckpt, **params)
+        q.awaitTermination(120)
+
+    got = sorted(r["doc_id"] for r in
+                 spark.read.parquet(out).select("doc_id").collect())
+    assert got == ["docA", "docB", "docF"]  # C dropped, both kept
+
+    alldocs = spark.createDataFrame(pd.DataFrame(
+        [r for rows in batches for r in rows],
+        columns=["doc_id", "text"]))
+    pairs = spark.createDataFrame(pd.DataFrame(
+        {"a": ["docA", "docB"], "b": ["docC", "docC"]}))
+    batch_ans = sorted(
+        r["doc_id"] for r in
+        dedup.dedup_survivors(alldocs, pairs).select("doc_id")
+        .collect())
+    assert batch_ans == ["docA", "docF"]  # batch keeps only min id
+    assert set(batch_ans) <= set(got)     # over-keep, never over-drop
+    dedup.release_survivors_state()
