@@ -538,6 +538,54 @@ def _q_text_c4_clean(spark, sf_dir):
     return text_metrics.c4_line_clean(lined)
 
 
+def _q_text_pii_redact(spark, sf_dir):
+    # PII masking over a deterministically PII-augmented corpus (the
+    # synthetic text is pure lowercase words - emails/IPs/phones are
+    # planted from doc_id so the redactor has real work on a known
+    # fraction of rows; the oracle replays the augmentation AND the
+    # sequential count+replace chain with the same RE2/Java-compatible
+    # patterns).
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0, F.concat(
+                F.lit(" contact u"), did.cast("string"),
+                F.lit("@ex-"), (did % 13).cast("string"),
+                F.lit(".org now"))).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.concat(
+                F.lit(" from 10."), (did % 256).cast("string"),
+                F.lit(".0."), (did % 254 + 1).cast("string"),
+                F.lit(" logged"))).otherwise(F.lit("")),
+            F.when(did % 11 == 0, F.concat(
+                F.lit(" call 555-010-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" today"))).otherwise(F.lit("")),
+        ).alias("text"))
+    out = text_metrics.pii_redact(aug)
+    return out.select("doc_id", "pii_email", "pii_ipv4", "pii_phone",
+                      F.col("text").alias("clean_text"))
+
+
+def _q_dedup_substrings(spark, sf_dir):
+    # Duplicate-substring removal (Lee et al. 2022 ExactSubstr at
+    # token granularity): every 8-token run occurring >= 2 times
+    # corpus-wide is cut from all but its first occurrence. The
+    # planted near-dup structure in the documents table gives ~2k
+    # duplicated window occurrences at sf0.01. Oracle: occurrences
+    # recomputed from the window STRINGS themselves (independent of
+    # the operator's 64-bit rolling fingerprints - the minhash verify
+    # argument), keep-first rank and the token-level rebuild replayed
+    # exactly.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.substring_dedup(
+        d, window=8, spread=spark.sparkContext.defaultParallelism)
+    return out.select("doc_id", "ss_n_tokens", "ss_n_removed",
+                      F.col("text").alias("clean_text"))
+
+
 def _q_corpus_decontaminate(spark, sf_dir):
     # Benchmark decontamination (test-set n-gram overlap removal):
     # docs with id % 10 == 0 act as the held-out benchmark; every
@@ -866,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": _q_corpus_decontaminate,
         "text_gopher_flags": _q_text_gopher,
         "text_c4_clean": _q_text_c4_clean,
+        "text_pii_redact": _q_text_pii_redact,
+        "dedup_substrings": _q_dedup_substrings,
         "corpus_e2e": _q_corpus_e2e,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
@@ -1457,6 +1507,110 @@ def oracle_sql() -> dict[str, str]:
                   AND NOT contains(t, '{')
                   AND NOT contains(t, '}')) AS c4_keep
           FROM k
+        """,
+        # PII masking: the doc_id-keyed augmentation, then the same
+        # sequential count+replace chain (each count on the PREVIOUS
+        # stage's output) with the identical RE2-compatible patterns;
+        # DuckDB regexp_replace needs the explicit 'g' flag to match
+        # Spark's replace-all.
+        "text_pii_redact": r"""
+          WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0 THEN
+                        ' contact u' || CAST(doc_id AS VARCHAR)
+                        || '@ex-' || CAST(doc_id % 13 AS VARCHAR)
+                        || '.org now' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN
+                        ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                        || ' logged' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN
+                        ' call 555-010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' today' ELSE '' END AS t0
+            FROM documents),
+          s1 AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t0,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                     )) AS BIGINT) AS pii_email,
+                   regexp_replace(t0,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g') AS t1
+            FROM aug),
+          s2 AS (
+            SELECT doc_id, pii_email,
+                   CAST(len(regexp_extract_all(t1,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                     )) AS BIGINT) AS pii_ipv4,
+                   regexp_replace(t1,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '<IP>', 'g') AS t2
+            FROM s1)
+          SELECT doc_id, pii_email, pii_ipv4,
+                 CAST(len(regexp_extract_all(t2,
+                   '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT)
+                   AS pii_phone,
+                 regexp_replace(t2, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                                '<PHONE>', 'g') AS clean_text
+          FROM s2
+        """,
+        # duplicate-substring removal: positional 8-token windows from
+        # the window STRINGS (independent of the operator's rolling
+        # fingerprints), corpus-wide occurrence count + keep-first
+        # rank over (doc_id, pos), covered-token union, token-level
+        # rebuild. Short docs (0 < T < 8 tokens) form ONE whole-doc
+        # window; empty docs pass through with ''.
+        "dedup_substrings": r"""
+          WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '') AS ws
+            FROM documents),
+          g AS (
+            SELECT doc_id, ws, len(ws) AS n,
+                   unnest([i for i in range(0,
+                     CASE WHEN len(ws) >= 8 THEN len(ws) - 7
+                          WHEN len(ws) > 0 THEN 1 ELSE 0 END)]) AS pos
+            FROM base),
+          win AS (
+            SELECT doc_id, n, pos,
+                   array_to_string(ws[pos+1:least(pos+8, n)], ' ')
+                     AS wstr
+            FROM g),
+          r AS (
+            SELECT doc_id, n, pos,
+                   COUNT(*) OVER (PARTITION BY wstr) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY wstr
+                                      ORDER BY doc_id, pos) AS rn
+            FROM win),
+          cov AS (
+            SELECT DISTINCT doc_id,
+                   unnest([j for j in range(pos,
+                                            least(pos+8, n))]) AS j
+            FROM r WHERE cnt >= 2 AND rn >= 2),
+          toks AS (
+            SELECT doc_id, unnest(ws) AS t,
+                   unnest([j for j in range(0, len(ws))]) AS j
+            FROM base),
+          kept AS (
+            SELECT k.doc_id, k.j, k.t
+            FROM toks k LEFT JOIN cov c
+              ON c.doc_id = k.doc_id AND c.j = k.j
+            WHERE c.doc_id IS NULL),
+          rebuilt AS (
+            SELECT doc_id, string_agg(t, ' ' ORDER BY j) AS ct
+            FROM kept GROUP BY doc_id),
+          nrm AS (
+            SELECT doc_id, COUNT(*) AS nr FROM cov GROUP BY doc_id)
+          SELECT b.doc_id,
+                 CAST(len(b.ws) AS BIGINT) AS ss_n_tokens,
+                 CAST(COALESCE(nrm.nr, 0) AS BIGINT) AS ss_n_removed,
+                 COALESCE(rebuilt.ct, '') AS clean_text
+          FROM base b
+          LEFT JOIN rebuilt ON rebuilt.doc_id = b.doc_id
+          LEFT JOIN nrm ON nrm.doc_id = b.doc_id
         """,
         # the whole corpus chain in one replay: stratified-sample
         # thresholds, the Gopher conjunction (corpus stopwords), chunk

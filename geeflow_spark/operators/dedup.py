@@ -128,6 +128,33 @@ def shingle_hashes_col(text: Column, k: int = 3) -> Column:
     return _sh(token_hashes_col(text))
 
 
+def window_fingerprints_col(text: Column, window: int = 8) -> Column:
+    """text -> array<long> of rolling `window`-token fingerprints in
+    POSITION order: element i is the fold of tokens[i:i+window], so
+    `posexplode` recovers each occurrence's token offset - the
+    positional sibling of `shingle_hashes_col` (which dedups per row
+    for set semantics). Same kernel (per-token JVM xxhash64 once, then
+    the vectorized numpy polynomial fold), same short-doc convention
+    (0 < T < window tokens -> ONE fingerprint folding all T tokens at
+    position 0), empty text -> empty array. No case folding: consumers
+    (substring_dedup) rebuild the ORIGINAL text, so occurrences must
+    key on the exact token sequence.
+    """
+    @pandas_udf(ArrayType(LongType()))
+    def _wh(tok_hashes: pd.Series) -> pd.Series:
+        flat, counts, _ = _segmented(tok_hashes)
+        sh, sh_counts = _shingle_hashes_flat(flat, counts, window)
+        out = []
+        pos = 0
+        for c in sh_counts:
+            c = int(c)
+            out.append(sh[pos:pos + c].astype(np.int64).tolist())
+            pos += c
+        return pd.Series(out)
+
+    return _wh(token_hashes_col(text))
+
+
 def token_hashes_col(text: Column) -> Column:
     """text -> array<long>: xxhash64 of each whitespace token (JVM-side).
 
@@ -919,6 +946,96 @@ def containment_pairs(df: DataFrame, threshold: float = 0.5,
                         F.col("_shared") / F.col("_na"))
             .filter(F.col("containment") >= threshold)
             .select("a", "b", "containment"))
+
+
+def substring_dedup(df: DataFrame, window: int = 8,
+                    min_count: int = 2, keep_first: bool = True,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    metrics: bool = True,
+                    spread: int | None = None) -> DataFrame:
+    """Duplicate-substring removal at token granularity - the
+    ExactSubstr pass of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"), the step web pipelines run IN
+    ADDITION to document-level near-dup filtering: any `window`-token
+    run whose exact token sequence occurs >= `min_count` times
+    corpus-wide is cut from every occurrence except the first
+    (`keep_first=True`, ranked by (doc_id, position); False cuts all
+    occurrences). Returns df's full rows with `text_col` rebuilt from
+    the surviving tokens (single-space joined - token-granularity
+    rebuild, original inter-token whitespace is not preserved), plus
+    `ss_n_tokens` / `ss_n_removed` metric columns when `metrics=True`.
+
+    Plan shape at 10^12 docs: the occurrence pipeline ships
+    (id, position, fingerprint) rows only - 24 bytes, never text. One
+    hash partitioning on the 8-byte fingerprint carries BOTH the
+    corpus-wide occurrence count and the keep-first rank (one
+    Exchange, one Sort, two Window nodes); removed occurrences then
+    explode into covered token positions and aggregate to one
+    positions-array row per affected doc, so the join back to the
+    corpus is keyed on id with a small right side at real duplication
+    rates (AQE picks broadcast when it fits, shuffled hash join
+    otherwise - the survivors-gate lesson: never force the broadcast).
+    The rebuild is JVM-side (filter-by-index over the token array;
+    docs with no duplicated windows pass through with a null positions
+    array and zero per-token work).
+
+    Exactness: fingerprints are the positional rolling fold of
+    per-token xxhash64s (`window_fingerprints_col`) - injective on
+    window token sequences up to 64-bit collisions (the minhash verify
+    argument); the driver oracle recomputes occurrences from the
+    window STRINGS themselves, an independent hash family. Docs with
+    0 < T < window tokens form ONE whole-doc fingerprint (exact short
+    duplicates still dedup); empty docs pass through. Within-doc
+    repeats count as distinct occurrences (a doc repeating its own
+    window keeps only the first copy).
+    """
+    fps = window_fingerprints_col(F.col(text_col), window)
+    # explode_outer + isNotNull, NOT posexplode: a plain generator
+    # makes Catalyst infer size(arr)>0 and push it below the spread
+    # exchange, re-running the fingerprint UDF over the whole corpus
+    # (the containment_pairs lesson).
+    occ = (_spread(df, spread)
+           .select(F.col(id_col),
+                   F.size(F.filter(F.split(F.trim(F.col(text_col)),
+                                           r"\s+"),
+                                   lambda t: t != "")).alias("_n"),
+                   fps.alias("_fp"))
+           .select(id_col, "_n",
+                   F.posexplode_outer("_fp").alias("_p", "_f"))
+           .filter(F.col("_f").isNotNull()))
+    wf = Window.partitionBy("_f")
+    wfo = Window.partitionBy("_f").orderBy(id_col, "_p")
+    ranked = occ.select(
+        id_col, "_n", "_p",
+        F.count("*").over(wf).alias("_cnt"),
+        F.row_number().over(wfo).alias("_rn"))
+    removed = ranked.filter(
+        (F.col("_cnt") >= min_count)
+        & (F.col("_rn") >= (2 if keep_first else 1)))
+    # covered token positions; the short-doc whole-text fingerprint
+    # covers [0, T) - least() clamps the window run to the doc.
+    cov = (removed
+           .select(id_col,
+                   F.explode(F.sequence(
+                       F.col("_p"),
+                       F.least(F.col("_p") + F.lit(window),
+                               F.col("_n")) - F.lit(1))).alias("_j"))
+           .groupBy(id_col)
+           .agg(F.collect_set("_j").alias("_rm")))
+    out = df.join(cov, on=id_col, how="left")
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    rm = F.coalesce(F.col("_rm"),
+                    F.expr("CAST(array() AS array<int>)"))
+    kept = F.filter(toks, lambda t, i: ~F.array_contains(rm, i))
+    out = out.withColumn("_ss_nt", F.size(toks))
+    if metrics:
+        out = (out.withColumn("ss_n_tokens",
+                              F.col("_ss_nt").cast("long"))
+               .withColumn("ss_n_removed",
+                           F.size(rm).cast("long")))
+    return (out.withColumn(text_col, F.array_join(kept, " "))
+            .drop("_rm", "_ss_nt"))
 
 
 # decontaminate's contaminated-id frames are eagerly localCheckpointed

@@ -172,6 +172,49 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
                      *[c.alias(name) for name, c in cols.items()])
 
 
+# Conservative ASCII patterns, valid and identical under BOTH regex
+# engines the repo targets (Java in Spark codegen, RE2 in the DuckDB
+# oracle): no lookaround, no backreferences, \b is the ASCII word
+# boundary in both. Order matters (counts and replacements run
+# sequentially, each on the PREVIOUS stage's output) and is part of
+# the operator's contract - the oracle replays the same order.
+DEFAULT_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text",
+               patterns=DEFAULT_PII_PATTERNS,
+               counts: bool = True) -> DataFrame:
+    """PII masking - the pre-release scrub every public web corpus
+    runs (C4 and Dolma both ship with email/IP/phone masking):
+    replaces every match of each pattern with its mask token,
+    IN PLACE on `text_col`, preserving all other columns. With
+    `counts=True` adds one `pii_<name>` long column per pattern - the
+    number of matches that pattern saw (counted on the text AS THAT
+    STAGE SAW IT, i.e. after the previous patterns' replacements - so
+    overlapping pattern families never double-count one span).
+
+    Scale design: pure JVM regexp_count/regexp_replace inside one
+    whole-stage-codegen span - zero shuffle, zero Python, linear
+    scan per row. Patterns must be RE2-compatible (no lookaround) so
+    the driver oracle can replay them verbatim in DuckDB.
+    """
+    out = df
+    for name, pat, repl in patterns:
+        if counts:
+            out = out.withColumn(
+                f"pii_{name}",
+                F.regexp_count(F.col(text_col), F.lit(pat))
+                .cast("long"))
+        out = out.withColumn(
+            text_col, F.regexp_replace(F.col(text_col), pat, repl))
+    return out
+
+
 def c4_line_clean(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", min_line_words: int = 3,
                   min_lines: int = 1,

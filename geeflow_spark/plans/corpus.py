@@ -5,7 +5,8 @@ front-end): one declarative dict builds the standard training-data
 export chain from the individually-tested operators, in the canonical
 order a production pipeline runs them:
 
-    sample -> quality (Gopher rules) -> dedup (near-dup survivors)
+    sample -> clean (PII masking) -> quality (Gopher rules)
+    -> dedup (near-dup survivors) -> substrings (duplicate-run cuts)
     -> decontaminate -> mix (epoch rates) -> chunk -> shuffle -> pack
 
 Every step is optional; present steps run in that fixed order (the
@@ -25,8 +26,10 @@ Example config::
     {
       "sample": {"fractions": {"en": 1.0}, "strata_col": "lang",
                  "default_fraction": 0.25, "seed": 7},
+      "clean": {},                           # PII masking, default patterns
       "quality": {"min_words": 30},
       "dedup": {"num_perm": 64, "bands": 16, "verify_jaccard": 0.6},
+      "substrings": {"window": 8},           # duplicate-run cuts
       "decontaminate": {"window": 8},       # needs benchmark=frame
       "chunk": {"max_tokens": 512, "overlap": 64},
       "shuffle": {"seed": 13},
@@ -42,8 +45,8 @@ from pyspark.sql import functions as F
 from geeflow_spark.operators import chunking, dedup, sampling
 from geeflow_spark.operators import text_metrics
 
-_STEP_ORDER = ("sample", "quality", "dedup", "decontaminate", "mix",
-               "chunk", "shuffle", "pack")
+_STEP_ORDER = ("sample", "clean", "quality", "dedup", "substrings",
+               "decontaminate", "mix", "chunk", "shuffle", "pack")
 
 
 def build_corpus_pipeline(docs: DataFrame, cfg: dict,
@@ -73,6 +76,15 @@ def build_corpus_pipeline(docs: DataFrame, cfg: dict,
             out = sampling.hash_sample(
                 out, c["fraction"], key_col=id_col,
                 seed=c.get("seed", 0), hash_family=hash_family)
+    if "clean" in cfg:
+        # PII masking BEFORE quality: the quality rules must judge
+        # the text that will actually ship. Row-local JVM regexp -
+        # rides in the same codegen span as the sample filter.
+        c = dict(cfg["clean"])
+        out = text_metrics.pii_redact(out, text_col=text_col,
+                                      counts=c.get("counts", False),
+                                      **{k: v for k, v in c.items()
+                                         if k == "patterns"})
     if "quality" in cfg:
         # row-local predicate: no join, no extra pass - the Gopher
         # conjunction filters in place inside the same codegen span.
@@ -85,6 +97,15 @@ def build_corpus_pipeline(docs: DataFrame, cfg: dict,
                                               id_col=id_col, **c)
         out = dedup.dedup_survivors(out, pairs, id_col=id_col,
                                     quality_col=quality_col)
+    if "substrings" in cfg:
+        # duplicate-run cuts AFTER doc-level dedup (Lee et al. run
+        # ExactSubstr in addition to NearDup: doc dedup first shrinks
+        # the occurrence table this step shuffles), before
+        # decontamination (the benchmark n-gram join should see the
+        # text that ships).
+        out = dedup.substring_dedup(out, text_col=text_col,
+                                    id_col=id_col, metrics=False,
+                                    **cfg["substrings"])
     if "decontaminate" in cfg:
         if benchmark is None:
             raise ValueError("decontaminate step needs benchmark=frame")

@@ -106,3 +106,27 @@ def test_corpus_pipeline_mix_step_epochs_survive_chunking(spark):
     en_ids = set(docs.filter(F.col("lang") == "en")
                  .toPandas()["doc_id"])
     assert set(out[out.doc_id.isin(en_ids)]["epoch"]) == {0, 1}
+
+
+def test_corpus_pipeline_clean_and_substrings_steps(spark):
+    from geeflow_spark.operators import text_metrics as tm
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["mail me at a@b.co about one two three four five six",
+                 "shared run one two three four five six seven eight end",
+                 "copy of shared run one two three four five six seven"
+                 " eight tail"]}))
+    cfg = {"clean": {}, "substrings": {"window": 8}}
+    out = corpus.build_corpus_pipeline(docs, cfg).toPandas() \
+        .set_index("doc_id")
+    # step output equals the manual operator chain, text in place,
+    # no metric columns (counts=False / metrics=False in pipeline)
+    manual = dedup.substring_dedup(
+        tm.pii_redact(docs, counts=False), window=8,
+        metrics=False).toPandas().set_index("doc_id")
+    assert list(out.columns) == ["text"]
+    assert out["text"].to_dict() == manual["text"].to_dict()
+    # the email is masked; doc 3's copy of doc 2's 8-token run is cut
+    assert out.loc[1, "text"].startswith("mail me at <EMAIL>")
+    assert "one two three four five six seven eight" in out.loc[2, "text"]
+    assert "one two three" not in out.loc[3, "text"]

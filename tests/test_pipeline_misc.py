@@ -753,3 +753,116 @@ def test_dedup_survivors_quality_string_ids(spark):
                                  quality_col="q").toPandas()
     assert sorted(out2["doc_id"]) == ["doc01", "doc03", "doc09"]
     dedup.release_survivors_state()
+
+
+def test_pii_redact(spark):
+    from geeflow_spark.operators import text_metrics as tm
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                         "text": [
+        "reach me at jo.na+1@sub.example.org or admin@ex.io thanks",
+        "server 192.168.0.1 then call 555-010-1234 ok",
+        "plain text with no pii at all",
+        "a@b.co 1.2.3.4 999 888 7777",
+    ], "keepme": [10, 20, 30, 40]})
+    out = tm.pii_redact(spark.createDataFrame(docs)) \
+        .toPandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "reach me at <EMAIL> or <EMAIL> thanks"
+    assert out.loc[1, "pii_email"] == 2
+    assert out.loc[2, "text"] == "server <IP> then call <PHONE> ok"
+    assert (out.loc[2, "pii_ipv4"], out.loc[2, "pii_phone"]) == (1, 1)
+    # no-PII rows pass through untouched, zero counts
+    assert out.loc[3, "text"] == docs.set_index("doc_id").loc[3, "text"]
+    assert out.loc[3, ["pii_email", "pii_ipv4", "pii_phone"]].sum() == 0
+    # space-separated phone form; other columns ride along
+    assert out.loc[4, "text"] == "<EMAIL> <IP> <PHONE>"
+    assert list(out["keepme"]) == [10, 20, 30, 40]
+    # counts=False adds no columns
+    bare = tm.pii_redact(spark.createDataFrame(docs), counts=False)
+    assert set(bare.columns) == {"doc_id", "text", "keepme"}
+
+
+def test_substring_dedup(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),      # first occurrence -> kept
+        (2, "x y a b c d e f g h k"),    # same 8-run at pos 2 -> cut
+        (3, "p q r s"),                  # short unique -> kept
+        (4, "p q r s"),                  # short exact dup -> emptied
+        (5, ""),                         # empty passthrough
+        (6, "m n o a b c d e f g h m n o a b c d e f g h"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.substring_dedup(df, window=8).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "a b c d e f g h i j"
+    assert out.loc[2, "text"] == "x y k"
+    assert (out.loc[2, "ss_n_tokens"], out.loc[2, "ss_n_removed"]) \
+        == (11, 8)
+    assert out.loc[3, "text"] == "p q r s"
+    assert out.loc[4, "text"] == ""          # whole-doc window dup
+    assert out.loc[5, "text"] == ""
+    assert out.loc[5, "ss_n_removed"] == 0
+    # within-doc repeat: overlapping dup windows cover everything
+    # after the first occurrence's unique prefix
+    assert out.loc[6, "text"] == "m n o"
+    assert out.loc[6, "ss_n_removed"] == 19
+    # keep_first=False cuts every occurrence, including the first
+    allcut = dedup.substring_dedup(df, window=8, keep_first=False) \
+        .toPandas().set_index("doc_id")
+    assert allcut.loc[1, "text"] == "i j"
+    assert allcut.loc[3, "text"] == ""
+    # min_count above a window's occurrence count spares it: the
+    # whole-doc "p q r s" window occurs exactly twice, so doc 4
+    # survives at min_count=3 (the a..h run occurs 4x - doc 6 has it
+    # twice - and keeps being cut)
+    rare = dedup.substring_dedup(df, window=8, min_count=3) \
+        .toPandas().set_index("doc_id")
+    assert rare.loc[4, "text"] == "p q r s"
+    assert rare.loc[2, "text"] == "x y k"
+    # metrics=False keeps the original schema
+    bare = dedup.substring_dedup(df, window=8, metrics=False)
+    assert bare.columns == ["doc_id", "text"]
+
+
+def test_substring_dedup_matches_reference(spark):
+    # property check vs an independent pure-python reference on a
+    # planted corpus: docs share runs by construction (every doc
+    # id%3==1 embeds doc id-1's middle run), plus random uniques.
+    import numpy as np
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(60):
+        toks = list(rng.choice(vocab, size=24))
+        if i % 3 == 1:
+            toks[5:15] = texts[i - 1].split()[7:17]
+        texts.append(" ".join(toks))
+    W = 6
+    # reference: window strings -> global count + keep-first rank
+    occ = {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        n = len(ws)
+        spans = range(max(n - W + 1, 1)) if n else range(0)
+        for p in spans:
+            occ.setdefault(" ".join(ws[p:p + W]), []).append((i, p))
+    removed = {}
+    for k, lst in occ.items():
+        if len(lst) >= 2:
+            for (i, p) in sorted(lst)[1:]:
+                n = len(texts[i].split())
+                removed.setdefault(i, set()).update(
+                    range(p, min(p + W, n)))
+    expect = {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        rm = removed.get(i, set())
+        expect[i] = " ".join(w for j, w in enumerate(ws)
+                             if j not in rm)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = dedup.substring_dedup(df, window=W).toPandas() \
+        .set_index("doc_id")
+    for i in range(60):
+        assert got.loc[i, "text"] == expect[i], i
+        assert got.loc[i, "ss_n_removed"] == len(removed.get(i, set()))

@@ -39,11 +39,15 @@ def test_full_battery_twice_no_storage_creep(spark):
             fn(spark, SF_DIR).write.format("noop") \
                 .mode("overwrite").save()
         _release_all(spark)
-        # one bounded settle-retry: unpersist(blocking=False) calls
-        # issued by the release sweep can still be draining through
-        # the block manager when the registry is read.
+        # bounded settle-poll: unpersist(blocking=False) calls issued
+        # by the release sweep drain asynchronously through the block
+        # manager, and under full-suite load a single 3 s grace was
+        # observed to flake. The property under test is "no PERMANENT
+        # leak", so poll until the ids drain (a real leak - an id no
+        # release function covers - still fails after the deadline).
         leaked = dedup._persistent_rdd_ids(sc) - base
-        if leaked:
-            time.sleep(3)
+        deadline = time.monotonic() + 30
+        while leaked and time.monotonic() < deadline:
+            time.sleep(1.5)
             leaked = dedup._persistent_rdd_ids(sc) - base
         assert not leaked, (pass_no, leaked)
