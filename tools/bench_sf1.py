@@ -329,6 +329,32 @@ def run(spark, n: int) -> dict:
 
     step("containment", _cont)
 
+    # duplicate-substring removal (ExactSubstr): planted truth is
+    # EXACT - the copy class (id%1000==501) duplicates all 13 windows
+    # of its base, so all 20 tokens are cut (keep-first spares the
+    # base); the 1-token mutants (id%1000==1) share the 5 windows
+    # avoiding position 10, which cover every token but the mutated
+    # one -> 19 cut. Sum of removed tokens = 39 * n/1000, emptied
+    # docs = n/1000, bases untouched. The sum aggregates the REBUILT
+    # text length too, so Catalyst cannot prune the rebuild out of
+    # the timed plan.
+    def _ss():
+        def job():
+            out = dedup.substring_dedup(text, window=8, spread=spread)
+            r = out.agg(
+                F.sum("ss_n_removed").alias("rm"),
+                F.sum(F.length("text")).alias("chars"),
+                F.sum((F.col("ss_n_removed") == TOKENS).cast("long"))
+                .alias("emptied")).collect()[0]
+            return int(r["rm"]), int(r["emptied"])
+        (rm, emptied), walls = timed(job)
+        return {"removed_tokens": rm,
+                "expected_removed": 39 * (n // 1000),
+                "emptied_docs": emptied,
+                "expected_emptied": n // 1000, "walls": walls}
+
+    step("substring_dedup", _ss)
+
     # span-level (paragraph) dedup over the interleaved docs table in
     # the EXTREME boilerplate regime: synth text spans are 2-word
     # combos from a small vocab, so distinct texts saturate and the
@@ -603,8 +629,9 @@ def main() -> None:
     ]
     ratios = {}
     for name in ("flagship", "minhash_pairs", "simhash_pairs",
-                 "containment", "span_dedup", "shuffle_pack",
-                 "decontaminate", "lsh_topk", "geo_knn"):
+                 "containment", "substring_dedup", "span_dedup",
+                 "shuffle_pack", "decontaminate", "lsh_topk",
+                 "geo_knn"):
         ws, wb = out["small"][name]["walls"], out["big"][name]["walls"]
         r = round(min(wb) / min(ws), 1)
         ratios[name] = r
@@ -698,6 +725,20 @@ def main() -> None:
         f"contained 1.0 both directions; the 1-token mutants sit at "
         f"6/13 = 0.46, below threshold - exact-by-construction, so "
         f"recall must be 1.0).",
+        f"- Duplicate-substring removal (ExactSubstr, window 8, "
+        f"keep-first): removed tokens "
+        f"{out['big']['substring_dedup']['removed_tokens']:,} = the "
+        f"exact planted expectation "
+        f"{out['big']['substring_dedup']['expected_removed']:,} "
+        f"(39 per 1000 docs: copies lose all 20 tokens, 1-token "
+        f"mutants keep exactly the mutated token), emptied docs "
+        f"{out['big']['substring_dedup']['emptied_docs']:,} = "
+        f"{out['big']['substring_dedup']['expected_emptied']:,} at "
+        f"{big:,}; small-corpus truth also exact: "
+        f"{out['small']['substring_dedup']['removed_tokens']:,} / "
+        f"{out['small']['substring_dedup']['expected_removed']:,}. "
+        f"The timed job aggregates the rebuilt text length, so the "
+        f"token-level rebuild is inside the wall.",
         f"- Span-level dedup in the extreme-boilerplate regime "
         f"(synth spans are 2-word combos from a small vocab): drop "
         f"fraction {out['big']['span_dedup']['drop_fraction']} at "
