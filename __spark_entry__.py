@@ -501,6 +501,18 @@ _E2E_CFG = {
     "pack": {"budget": 128, "bucket_size": 256},
 }
 
+_E2E_CLEAN_CFG = {
+    "sample": {"fractions": {"en": 1.0, "de": 0.5}, "strata_col": "lang",
+               "default_fraction": 0.25, "seed": 7},
+    "clean": {},
+    "quality": {"min_words": 30,
+                "stopwords": ("scan", "column", "window", "order")},
+    "substrings": {"window": 8},
+    "chunk": {"max_tokens": 40, "overlap": 8},
+    "shuffle": {"seed": 13, "n_buckets": 64},
+    "pack": {"budget": 128, "bucket_size": 256},
+}
+
 
 def _q_corpus_e2e(spark, sf_dir):
     # The WHOLE config-driven corpus export chain - stratified sample
@@ -538,17 +550,13 @@ def _q_text_c4_clean(spark, sf_dir):
     return text_metrics.c4_line_clean(lined)
 
 
-def _q_text_pii_redact(spark, sf_dir):
-    # PII masking over a deterministically PII-augmented corpus (the
-    # synthetic text is pure lowercase words - emails/IPs/phones are
-    # planted from doc_id so the redactor has real work on a known
-    # fraction of rows; the oracle replays the augmentation AND the
-    # sequential count+replace chain with the same RE2/Java-compatible
-    # patterns).
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _pii_augment(d):
+    # Deterministic PII planting from doc_id (the synthetic text is
+    # pure lowercase words, so without it every PII rule is vacuous -
+    # the c4 lesson); the oracles replay the same concatenation.
     did = F.col("doc_id")
-    aug = d.select(
-        "doc_id",
+    return d.select(
+        "doc_id", "lang",
         F.concat(
             F.col("text"),
             F.when(did % 5 == 0, F.concat(
@@ -564,9 +572,34 @@ def _q_text_pii_redact(spark, sf_dir):
                 F.lpad((did % 10000).cast("string"), 4, "0"),
                 F.lit(" today"))).otherwise(F.lit("")),
         ).alias("text"))
+
+
+def _q_text_pii_redact(spark, sf_dir):
+    # PII masking over the deterministically PII-augmented corpus;
+    # the oracle replays the augmentation AND the sequential
+    # count+replace chain with the same RE2/Java-compatible patterns.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = _pii_augment(d).drop("lang")
     out = text_metrics.pii_redact(aug)
     return out.select("doc_id", "pii_email", "pii_ipv4", "pii_phone",
                       F.col("text").alias("clean_text"))
+
+
+def _q_corpus_e2e_clean(spark, sf_dir):
+    # The corpus chain WITH the round-6 cleaning stages composed in -
+    # sample -> clean (PII masking) -> quality -> substrings
+    # (duplicate-run cuts) -> chunk -> shuffle -> pack - over the
+    # PII-augmented corpus, built by plans/corpus from one dict and
+    # replayed end-to-end by ONE DuckDB oracle. Chunk counts, the
+    # permutation and the pack prefix math all run on text the
+    # cleaning stages rewrote, so any drift in either new stage (or
+    # its position in the chain) breaks the hash.
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus.build_corpus_pipeline(_pii_augment(d), _E2E_CLEAN_CFG,
+                                       hash_family="md5")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "chunk_id", "rank", "prefix_tokens", "pack_id",
+                      "pack_offset")
 
 
 def _q_dedup_substrings(spark, sf_dir):
@@ -917,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": _q_text_pii_redact,
         "dedup_substrings": _q_dedup_substrings,
         "corpus_e2e": _q_corpus_e2e,
+        "corpus_e2e_clean": _q_corpus_e2e_clean,
         "dedup_simhash_manku": _q_dedup_simhash_manku,
         "dedup_spans": _q_dedup_spans,
         "dedup_containment": _q_dedup_containment,
@@ -1611,6 +1645,152 @@ def oracle_sql() -> dict[str, str]:
           FROM base b
           LEFT JOIN rebuilt ON rebuilt.doc_id = b.doc_id
           LEFT JOIN nrm ON nrm.doc_id = b.doc_id
+        """,
+        # the corpus chain WITH the cleaning stages: PII augmentation
+        # + sequential redaction, the md5 sample draw, the Gopher
+        # conjunction on the REDACTED text, duplicate-window cuts over
+        # the quality survivors (window strings, keep-first), then
+        # chunk counts / permutation / pack prefix math on the text
+        # the cleaning stages rewrote - one composed replay.
+        "corpus_e2e_clean": f"""
+          WITH aug AS (
+            SELECT doc_id, lang,
+                   text
+                   || CASE WHEN doc_id % 5 = 0 THEN
+                        ' contact u' || CAST(doc_id AS VARCHAR)
+                        || '@ex-' || CAST(doc_id % 13 AS VARCHAR)
+                        || '.org now' ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN
+                        ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                        || ' logged' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN
+                        ' call 555-010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' today' ELSE '' END AS t0
+            FROM documents),
+          red AS (
+            SELECT doc_id, lang,
+                   regexp_replace(regexp_replace(regexp_replace(t0,
+                     '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{{2,}}',
+                     '<EMAIL>', 'g'),
+                     '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                     '<IP>', 'g'),
+                     '\\b\\d{{3}}[-. ]\\d{{3}}[-. ]\\d{{4}}\\b',
+                     '<PHONE>', 'g') AS text
+            FROM aug),
+          samp AS (
+            SELECT doc_id, text FROM red
+            WHERE (('0x' || substr(md5(lang || '|' ||
+                       CAST(doc_id AS VARCHAR) || ':7'), 1, 16))::UBIGINT
+                   % 9223372036854775808)
+                  < CASE lang
+                      WHEN 'en' THEN {sampling.threshold_u63(1.0)}
+                      WHEN 'de' THEN {sampling.threshold_u63(0.5)}
+                      ELSE {sampling.threshold_u63(0.25)} END),
+          g AS (
+            SELECT doc_id, trim(text) AS t,
+                   string_split_regex(lower(trim(text)), '\\s+') AS ws
+            FROM samp),
+          q AS (
+            SELECT doc_id, t FROM (
+              SELECT doc_id, t, ws,
+                CASE WHEN length(t) = 0 THEN 0 ELSE len(ws) END AS nw,
+                CASE WHEN length(t) = 0 THEN 0.0 ELSE
+                  CAST(list_sum(list_transform(ws, w -> length(w)))
+                       AS DOUBLE) / len(ws) END AS mwl,
+                CASE WHEN length(t) = 0 THEN 0.0 ELSE
+                  ((length(t) - length(replace(t, '#', '')))
+                   + (length(t) - length(replace(t, '...', ''))) / 3)
+                  / len(ws) END AS sym,
+                list_filter(list_transform(string_split_regex(t, '\\n'),
+                    x -> trim(x)), x -> length(x) > 0) AS lines,
+                len(list_filter(ws,
+                    w -> regexp_matches(w, '[a-z]'))) AS alpha,
+                len(list_intersect(list_distinct(ws),
+                    ['scan', 'column', 'window', 'order'])) AS swh
+              FROM g) f
+            WHERE nw BETWEEN 30 AND 100000
+              AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1
+              AND (len(lines) = 0 OR
+                   CAST(len(list_filter(lines,
+                       x -> starts_with(x, '-') OR starts_with(x, '*')))
+                     AS DOUBLE) / len(lines) < 0.9)
+              AND (len(lines) = 0 OR
+                   CAST(len(list_filter(lines, x -> ends_with(x, '...')))
+                     AS DOUBLE) / len(lines) < 0.3)
+              AND (nw > 0 AND CAST(alpha AS DOUBLE) / nw >= 0.8)
+              AND swh >= 2),
+          sbase AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(t, '\\s+'),
+                               x -> x <> '') AS wr
+            FROM q),
+          sg AS (
+            SELECT doc_id, wr, len(wr) AS n,
+                   unnest([i for i in range(0,
+                     CASE WHEN len(wr) >= 8 THEN len(wr) - 7
+                          WHEN len(wr) > 0 THEN 1 ELSE 0 END)]) AS pos
+            FROM sbase),
+          sr AS (
+            SELECT doc_id, n, pos,
+                   COUNT(*) OVER (PARTITION BY wstr) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY wstr
+                                      ORDER BY doc_id, pos) AS rn
+            FROM (SELECT doc_id, n, pos,
+                         array_to_string(wr[pos+1:least(pos+8, n)], ' ')
+                           AS wstr
+                  FROM sg)),
+          scov AS (
+            SELECT DISTINCT doc_id,
+                   unnest([j for j in range(pos,
+                                            least(pos+8, n))]) AS j
+            FROM sr WHERE cnt >= 2 AND rn >= 2),
+          srebuilt AS (
+            SELECT k.doc_id, string_agg(k.t, ' ' ORDER BY k.j) AS ct
+            FROM (SELECT doc_id, unnest(wr) AS t,
+                         unnest([j for j in range(0, len(wr))]) AS j
+                  FROM sbase) k
+            LEFT JOIN scov c ON c.doc_id = k.doc_id AND c.j = k.j
+            WHERE c.doc_id IS NULL
+            GROUP BY k.doc_id),
+          clean AS (
+            SELECT q.doc_id,
+                   string_split_regex(trim(COALESCE(srebuilt.ct, '')),
+                                      '\\s+') AS ws2
+            FROM q LEFT JOIN srebuilt ON srebuilt.doc_id = q.doc_id),
+          c AS (
+            SELECT doc_id, ws2,
+                   greatest(CAST(ceil((len(ws2) - 8) / 32.0) AS BIGINT),
+                            1) AS nc
+            FROM clean),
+          tk AS (
+            SELECT doc_id, chunk_id,
+                   least(40, len(ws2) - chunk_id * 32) AS t,
+                   CAST(doc_id AS VARCHAR) || '#' ||
+                     CAST(chunk_id AS VARCHAR) AS k
+            FROM (SELECT doc_id, ws2,
+                         unnest([i for i in range(0, nc)]) AS chunk_id
+                  FROM c)),
+          rk AS (
+            SELECT doc_id, chunk_id, t,
+                   row_number() OVER (ORDER BY
+                     (('0x' || substr(md5(k || ':13'), 1, 16))::UBIGINT
+                      % 9223372036854775808), k) - 1 AS rank
+            FROM tk),
+          p AS (
+            SELECT doc_id, chunk_id, rank,
+                   COALESCE(SUM(t) OVER (ORDER BY rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS prefix
+            FROM rk)
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(chunk_id AS BIGINT) AS chunk_id,
+                 CAST(rank AS BIGINT) AS rank,
+                 CAST(prefix AS BIGINT) AS prefix_tokens,
+                 CAST(prefix // 128 AS BIGINT) AS pack_id,
+                 CAST(prefix % 128 AS BIGINT) AS pack_offset
+          FROM p
         """,
         # the whole corpus chain in one replay: stratified-sample
         # thresholds, the Gopher conjunction (corpus stopwords), chunk

@@ -105,7 +105,7 @@ def run_queries(sf_dir: str) -> dict:
         "sim_lsh_pruned",
         "corpus_sample", "corpus_mix", "corpus_chunks",
         "corpus_shuffle_rank", "corpus_pack", "corpus_decontaminate",
-        "corpus_e2e",
+        "corpus_e2e", "corpus_e2e_clean",
         "text_token_counts", "text_repetition", "text_gopher_flags",
         "text_c4_clean",
         "spans_explode", "src_s2_cloudfree_mosaic",
