@@ -593,7 +593,18 @@ def _q_corpus_e2e_clean(spark, sf_dir):
     # replayed end-to-end by ONE DuckDB oracle. Chunk counts, the
     # permutation and the pack prefix math all run on text the
     # cleaning stages rewrote, so any drift in either new stage (or
-    # its position in the chain) breaks the hash.
+    # its position in the chain) breaks the hash. Plan note: the
+    # substrings step's two input references re-derive the row-local
+    # upstream (sample filter + regexp + quality conjunction - map
+    # CPU only, no extra shuffle; the Window/groupBy exchanges dedup
+    # via ReusedExchange at runtime). Steady-state bench at sf0.1:
+    # 7.4 s vs corpus_e2e's 1.8 s - the delta is real added work
+    # (three regex passes + the dup-window pipeline + the upstream
+    # re-derivation), all map-side. At 10^12 docs a production chain
+    # materializes each stage through plans/checkpoint (resumability
+    # requires it anyway), which removes the re-derivation; the
+    # composed-lazy form here exists to put the WHOLE chain under one
+    # oracle hash.
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = corpus.build_corpus_pipeline(_pii_augment(d), _E2E_CLEAN_CFG,
                                        hash_family="md5")
@@ -735,6 +746,23 @@ def _q_sim_cosine_topk(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     out = similarity.brute_force_topk(q, ed, k=5)
     return out.select("query_id", "vec_id",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _q_sim_sq8_topk(spark, sf_dir):
+    # SQ8 scalar-quantized ANN (the FAISS int8 recipe): per-vector
+    # scale + floor(x/scale + 0.5), score = integer dot x both scales.
+    # The 10^12-scale payoff is bytes (4x smaller vectors on every
+    # scan/shuffle/inverted-list file); the score stays exact integer
+    # math, so the oracle recomputes quantization + dot + scales from
+    # the raw floats and the qscore VALUES hash-match, not just ranks.
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.sq8_topk(q, e, k=5)
+    return out.select("query_id", "vec_id",
+                      F.round("qscore", 6).alias("qscore"),
                       F.col("rank").cast("long").alias("rank"))
 
 
@@ -956,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": _q_dedup_containment,
         "dedup_embedding_pairs": _q_dedup_embedding,
         "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_sq8_topk": _q_sim_sq8_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_lsh_pruned": _q_sim_lsh_pruned,
@@ -2068,6 +2097,38 @@ def oracle_sql() -> dict[str, str]:
                 / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
                    * sqrt(list_sum(list_transform(b.emb, x -> x * x))))
                 >= 0.4
+        """,
+        # SQ8: quantization (per-vector abs-max scale, floor(x/s+0.5)),
+        # the integer dot, and both scales recomputed from the raw
+        # floats; integer dots are exact in double on both engines, so
+        # qscore VALUES match at 6dp, not just the ranking.
+        "sim_sq8_topk": """
+          WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          s AS (
+            SELECT vec_id, v,
+                   CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS sc
+            FROM (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS m
+                  FROM e)),
+          q8 AS (
+            SELECT vec_id, sc,
+                   [floor(v[x+1] / sc + 0.5) for x in range(0, 64)] AS qv
+            FROM s),
+          p AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   list_sum([a.qv[x+1] * b.qv[x+1]
+                             for x in range(0, 64)])
+                     * a.sc * b.sc AS qscore
+            FROM q8 a, q8 b WHERE a.vec_id < 10)
+          SELECT query_id, vec_id, ROUND(qscore, 6) AS qscore,
+                 CAST(rnk AS BIGINT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY qscore DESC, vec_id ASC) AS rnk
+            FROM p)
+          WHERE rnk <= 5
         """,
         "sim_cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

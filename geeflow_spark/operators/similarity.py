@@ -127,6 +127,92 @@ def brute_force_topk(queries: DataFrame, data: DataFrame, k: int,
             .select(query_id, data_id, "score", "rank"))
 
 
+def sq8_quantize(df: DataFrame, vec_col: str = "embedding",
+                 id_col: str = "vec_id",
+                 dim: int | None = None) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization - the FAISS SQ8
+    recipe: scale = max|x_i| / 127 (zero vectors get scale 1, so q=0),
+    q_i = floor(x_i / scale + 0.5), exact-integer range [-127, 127].
+    Returns (id, qvec array<long>, qscale double); all other input
+    columns are dropped (the quantized table IS the compact artifact).
+
+    Why at 10^12 vectors: the payoff is BYTES, not arithmetic - a
+    dim-16 float32 embedding is 64 B/row, SQ8 is 16 B + one scale, so
+    every downstream scan, shuffle, and inverted-list file shrinks
+    ~4x (at this scale ANN probes are bandwidth-bound long before
+    they are FLOP-bound; cf. BENCH/SF1.md's IVF finding). Scoring
+    stays exact integer math: int8 products summed over any real dim
+    stay far below 2^53, so the codegen'd double dot reproduces the
+    integer dot bit-for-bit - which is what makes the quantized score
+    REPLAYABLE in SQL (the sim_sq8_topk oracle recomputes quantization
+    + integer dot + scales from the raw floats).
+
+    With `dim` (inferred when omitted) the abs-max and the quantized
+    array build as unrolled codegen expressions; the fallback
+    F.transform path is interpreted (one corpus pass, not per-pair -
+    acceptable, but pass dim for big builds).
+    """
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    v = F.col(vec_col)
+    if dim and dim <= _NORM_UNROLL_MAX_DIM:
+        m = F.greatest(*[F.abs(v[i].cast("double")) for i in range(dim)])
+    else:
+        m = F.array_max(F.transform(v, lambda x:
+                                    F.abs(x.cast("double"))))
+    sc = F.when(m == 0.0, F.lit(1.0)).otherwise(m / F.lit(127.0))
+    # scale must be a per-row column BEFORE the element math so the
+    # unrolled form does not recompute the max per element
+    out = df.select(F.col(id_col), v.alias("_v"), sc.alias("qscale"))
+    s = F.col("qscale")
+    if dim and dim <= _NORM_UNROLL_MAX_DIM:
+        qv = F.array(*[F.floor(F.col("_v")[i].cast("double") / s
+                               + F.lit(0.5)) for i in range(dim)])
+    else:
+        qv = F.transform(F.col("_v"), lambda x:
+                         F.floor(x.cast("double") / s + F.lit(0.5)))
+    return out.select(id_col, qv.alias("qvec"), "qscale")
+
+
+def sq8_topk(queries: DataFrame, data: DataFrame, k: int,
+             query_id: str = "query_id", data_id: str = "vec_id",
+             vec_col: str = "embedding",
+             dim: int | None = None) -> DataFrame:
+    """Approximate cosine-order top-k over SQ8-quantized vectors:
+    score = (sum_i qa_i * qb_i) * scale_a * scale_b - the symmetric
+    scalar-quantized dot (ranks like the dot product; for unit-norm
+    embeddings that is cosine order). Ties broken by ascending data
+    id. Output (query_id, vec_id, qscore, rank).
+
+    Same plan shape as brute_force_topk (the correctness baseline):
+    quantize each side ONCE pre-join (O(|q|+|d|)), candidates carry
+    the int arrays + one scale, the window sees only ids + score.
+    Composes with the IVF index for the partition-pruned scale path -
+    quantization shrinks the inverted-list files ~4x, which is where
+    10^12-vector probes actually pay (bandwidth, not FLOPs).
+    Deterministic: integer dots are exact in double, scales are one
+    IEEE division - scores are bit-identical across partitionings and
+    engines (the driver oracle replays them from the raw floats).
+    """
+    if dim is None:
+        dim = _infer_dim(queries, vec_col)
+    q = sq8_quantize(queries, vec_col, query_id, dim=dim) \
+        .select(F.col(query_id), F.col("qvec").alias("_qa"),
+                F.col("qscale").alias("_sa"))
+    d = sq8_quantize(data, vec_col, data_id, dim=dim) \
+        .select(F.col(data_id), F.col("qvec").alias("_qb"),
+                F.col("qscale").alias("_sb"))
+    cand = q.crossJoin(d).withColumn(
+        "qscore", _dot(F.col("_qa"), F.col("_qb"), dim)
+        * F.col("_sa") * F.col("_sb")) \
+        .select(query_id, data_id, "qscore")
+    w = Window.partitionBy(query_id).orderBy(F.col("qscore").desc(),
+                                             F.col(data_id).asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, data_id, "qscore", "rank"))
+
+
 def hyperplane_buckets_udf(dim: int, n_planes: int = 16, bands: int = 4,
                            seed: int = 3):
     """Pandas UDF embedding -> array of `bands` bucket keys (multi-probe).

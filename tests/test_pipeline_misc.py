@@ -866,3 +866,38 @@ def test_substring_dedup_matches_reference(spark):
     for i in range(60):
         assert got.loc[i, "text"] == expect[i], i
         assert got.loc[i, "ss_n_removed"] == len(removed.get(i, set()))
+
+
+def test_sq8_quantize_and_topk(spark):
+    rng = np.random.default_rng(23)
+    mat = rng.normal(size=(200, 16)).astype(np.float32)
+    mat[7] = 0.0  # zero vector edge: scale 1, q = 0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<float>")
+    # quantization matches the numpy reference exactly
+    got = similarity.sq8_quantize(df, dim=16).toPandas() \
+        .set_index("vec_id").sort_index()
+    v = mat.astype(np.float64)
+    m = np.abs(v).max(axis=1)
+    sc = np.where(m == 0, 1.0, m / 127.0)
+    qref = np.floor(v / sc[:, None] + 0.5)
+    assert np.allclose(np.stack(got["qscale"].values), sc)
+    assert (np.stack(got["qvec"].values) == qref).all()
+    assert (qref[7] == 0).all()
+    # top-k by quantized score: scores match the reference bit-level
+    # (integer dots exact in double), ranking ~= the exact-dot
+    # ranking it approximates (int8 is plenty at dim 16)
+    q = df.filter(F.col("vec_id") < 5) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    topk = similarity.sq8_topk(q, df, k=5, dim=16).toPandas()
+    qs = (qref[:5] @ qref.T) * sc[:5, None] * sc[None, :]
+    for r in topk.itertuples():
+        assert abs(r.qscore - qs[r.query_id, r.vec_id]) < 1e-9
+    exact = v[:5] @ v.T
+    hits = 0
+    for qi in range(5):
+        ref_top = set(np.lexsort((np.arange(200), -exact[qi]))[:5])
+        got_top = set(topk[topk.query_id == qi]["vec_id"])
+        hits += len(ref_top & got_top)
+    assert hits >= 20  # recall@5 >= 0.8 over 25 slots
