@@ -133,14 +133,20 @@ def sq8_quantize(df: DataFrame, vec_col: str = "embedding",
     """Per-vector symmetric int8 scalar quantization - the FAISS SQ8
     recipe: scale = max|x_i| / 127 (zero vectors get scale 1, so q=0),
     q_i = floor(x_i / scale + 0.5), exact-integer range [-127, 127].
-    Returns (id, qvec array<long>, qscale double); all other input
-    columns are dropped (the quantized table IS the compact artifact).
+    Returns (id, qvec array<tinyint>, qscale double); all other input
+    columns are dropped (the quantized table IS the compact artifact -
+    int8 elements, so the parquet bit-packs to ~1 byte/component vs 8
+    for the raw doubles).
 
     Why at 10^12 vectors: the payoff is BYTES, not arithmetic - a
     dim-16 float32 embedding is 64 B/row, SQ8 is 16 B + one scale, so
-    every downstream scan, shuffle, and inverted-list file shrinks
-    ~4x (at this scale ANN probes are bandwidth-bound long before
-    they are FLOP-bound; cf. BENCH/SF1.md's IVF finding). Scoring
+    every downstream shuffle buffer and in-memory batch shrinks 4x
+    (8x vs float64; the PARQUET shrink depends on how well the raw
+    floats dictionary-encode - measured 1.6-2.1x on the highly
+    compressible SF1 synthetic corpus, approaching the in-memory
+    ratio on real incompressible embeddings). At this scale ANN
+    probes are bandwidth-bound long before they are FLOP-bound
+    (BENCH/SF1.md's IVF finding). Scoring
     stays exact integer math: int8 products summed over any real dim
     stay far below 2^53, so the codegen'd double dot reproduces the
     integer dot bit-for-bit - which is what makes the quantized score
@@ -167,17 +173,20 @@ def sq8_quantize(df: DataFrame, vec_col: str = "embedding",
     s = F.col("qscale")
     if dim and dim <= _NORM_UNROLL_MAX_DIM:
         qv = F.array(*[F.floor(F.col("_v")[i].cast("double") / s
-                               + F.lit(0.5)) for i in range(dim)])
+                               + F.lit(0.5)).cast("byte")
+                       for i in range(dim)])
     else:
         qv = F.transform(F.col("_v"), lambda x:
-                         F.floor(x.cast("double") / s + F.lit(0.5)))
+                         F.floor(x.cast("double") / s
+                                 + F.lit(0.5)).cast("byte"))
     return out.select(id_col, qv.alias("qvec"), "qscale")
 
 
 def sq8_topk(queries: DataFrame, data: DataFrame, k: int,
              query_id: str = "query_id", data_id: str = "vec_id",
              vec_col: str = "embedding",
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None,
+             data_prequantized: bool = False) -> DataFrame:
     """Approximate cosine-order top-k over SQ8-quantized vectors:
     score = (sum_i qa_i * qb_i) * scale_a * scale_b - the symmetric
     scalar-quantized dot (ranks like the dot product; for unit-norm
@@ -199,9 +208,16 @@ def sq8_topk(queries: DataFrame, data: DataFrame, k: int,
     q = sq8_quantize(queries, vec_col, query_id, dim=dim) \
         .select(F.col(query_id), F.col("qvec").alias("_qa"),
                 F.col("qscale").alias("_sa"))
-    d = sq8_quantize(data, vec_col, data_id, dim=dim) \
-        .select(F.col(data_id), F.col("qvec").alias("_qb"),
-                F.col("qscale").alias("_sb"))
+    if data_prequantized:
+        # the build/probe split: `data` is a stored sq8_quantize
+        # artifact (qvec, qscale) - probes scan int8 arrays, never
+        # the raw floats
+        d = data.select(F.col(data_id), F.col("qvec").alias("_qb"),
+                        F.col("qscale").alias("_sb"))
+    else:
+        d = sq8_quantize(data, vec_col, data_id, dim=dim) \
+            .select(F.col(data_id), F.col("qvec").alias("_qb"),
+                    F.col("qscale").alias("_sb"))
     cand = q.crossJoin(d).withColumn(
         "qscore", _dot(F.col("_qa"), F.col("_qb"), dim)
         * F.col("_sa") * F.col("_sb")) \

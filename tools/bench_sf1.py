@@ -454,6 +454,53 @@ def run(spark, n: int) -> dict:
 
     step("lsh_topk", _lsh)
 
+    # SQ8 scalar quantization: quantize ONCE (persisted int8 artifact
+    # - the bytes claim, measured), then probe the prequantized table.
+    # Recall vs the exact DOT ranking (what sq8 approximates; the
+    # corpus is not unit-norm, so cosine would mis-grade it).
+    def _sq8():
+        def dirsize(p):
+            return sum(os.path.getsize(os.path.join(r, f))
+                       for r, _, fs in os.walk(p) for f in fs)
+        from pyspark.sql import Window
+        qt = f"/tmp/geeflow_sf1_sq8_{n}"
+        t0 = time.monotonic()
+        similarity.sq8_quantize(vec, dim=16).write \
+            .mode("overwrite").parquet(qt)
+        quant_wall = round(time.monotonic() - t0, 2)
+        # the int8 artifact is SO compact (the point) that at harness
+        # scale maxPartitionBytes glues it into 1-2 input splits - the
+        # crossJoin inherits that partitioning and the per-partition
+        # window-limit sort goes single-threaded (first run: one task
+        # sorting 100M candidate rows on one core). At 100 TB the
+        # artifact spans thousands of splits; here, respread it.
+        qtab = spark.read.parquet(qt).repartition(spread)
+        out, walls = timed(lambda: similarity.sq8_topk(
+            q, qtab, k=10, dim=16, data_prequantized=True).count())
+        q5 = q.filter(F.col("query_id") < 5)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_s").desc(), F.col("vec_id").asc())
+        exact = (q5.select("query_id", F.col("embedding").alias("_qv"))
+                 .crossJoin(vec.select("vec_id",
+                                       F.col("embedding").alias("_dv")))
+                 .withColumn("_s", similarity._dot(
+                     F.col("_qv"), F.col("_dv"), 16))
+                 .withColumn("_r", F.row_number().over(w))
+                 .filter(F.col("_r") <= 10)
+                 .select("query_id", "vec_id").toPandas())
+        approx = similarity.sq8_topk(
+            q5, qtab, k=10, dim=16,
+            data_prequantized=True).toPandas()
+        ep = set(map(tuple, exact.itertuples(index=False)))
+        ap = set(map(tuple, approx[["query_id", "vec_id"]]
+                     .itertuples(index=False)))
+        return {"rows": out, "walls": walls, "quant_wall": quant_wall,
+                "bytes_raw": dirsize(vec_p), "bytes_sq8": dirsize(qt),
+                "bytes_ratio": round(dirsize(vec_p) / dirsize(qt), 2),
+                "recall_at_10": round(len(ep & ap) / len(ep), 3)}
+
+    step("sq8_topk", _sq8)
+
     # IVF: build ONCE (persisted lists), then the amortized probe path
     def _ivf():
         t0 = time.monotonic()
@@ -631,7 +678,7 @@ def main() -> None:
     for name in ("flagship", "minhash_pairs", "simhash_pairs",
                  "containment", "substring_dedup", "span_dedup",
                  "shuffle_pack", "decontaminate", "lsh_topk",
-                 "geo_knn"):
+                 "sq8_topk", "geo_knn"):
         ws, wb = out["small"][name]["walls"], out["big"][name]["walls"]
         r = round(min(wb) / min(ws), 1)
         ratios[name] = r
@@ -725,6 +772,28 @@ def main() -> None:
         f"contained 1.0 both directions; the 1-token mutants sit at "
         f"6/13 = 0.46, below threshold - exact-by-construction, so "
         f"recall must be 1.0).",
+        f"- SQ8 scalar quantization (int8 artifact, quantize-once/"
+        f"probe-many): stored bytes shrink "
+        f"{out['big']['sq8_topk']['bytes_ratio']}x at {big:,} vectors "
+        f"({out['big']['sq8_topk']['bytes_raw']:,} B raw parquet -> "
+        f"{out['big']['sq8_topk']['bytes_sq8']:,} B int8; quantize "
+        f"one-time {out['big']['sq8_topk']['quant_wall']}s), "
+        f"prequantized top-10 probe walls "
+        f"{out['big']['sq8_topk']['walls']}s, recall@10 = "
+        f"{out['big']['sq8_topk']['recall_at_10']} vs the exact dot "
+        f"ranking (small corpus: "
+        f"{out['small']['sq8_topk']['recall_at_10']}). Honest "
+        f"reading: the parquet-vs-parquet ratio understates the "
+        f"in-memory/shuffle shrink (int8 vs float64 arrays is 8x in "
+        f"executor buffers) because this clustered synthetic corpus "
+        f"dictionary-encodes its raw doubles unusually well - and the "
+        f"ratio FALLS from 1M to 10M as the dictionaries saturate; "
+        f"real embedding corpora are incompressible floats, where the "
+        f"stored ratio approaches the in-memory one. Probe walls are "
+        f"the labeled brute-force BASELINE (1B candidate rows at "
+        f"10M, linear by construction); the scale path is the same "
+        f"artifact inside the IVF partition-pruned lists, where "
+        f"probes are bandwidth-bound (the IVF finding above).",
         f"- Duplicate-substring removal (ExactSubstr, window 8, "
         f"keep-first): removed tokens "
         f"{out['big']['substring_dedup']['removed_tokens']:,} = the "
