@@ -21,6 +21,18 @@ so the whole pipeline is reproducible across runs and cluster sizes -
 and, with hash_family="md5", replayable end-to-end in SQL (the
 corpus_e2e driver oracle does exactly that).
 
+Two execution forms over the same step semantics:
+
+- `build_corpus_pipeline`: ONE lazy composition (what the driver
+  oracles hash) - Catalyst sees the whole chain.
+- `run_corpus_pipeline_checkpointed`: each stage materialized to
+  parquet with a fingerprinted manifest; a relaunch skips every stage
+  whose (step config + upstream fingerprint) manifest matches and
+  recomputes only downstream of the first change/tear - the corpus
+  sibling of plans/checkpoint.run_partitioned, and the production
+  form at 10^12 docs (resumability; also removes the lazy form's
+  upstream re-derivation inside multi-reference steps).
+
 Example config::
 
     {
@@ -39,6 +51,10 @@ Example config::
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,85 +65,83 @@ _STEP_ORDER = ("sample", "clean", "quality", "dedup", "substrings",
                "decontaminate", "mix", "chunk", "shuffle", "pack")
 
 
-def build_corpus_pipeline(docs: DataFrame, cfg: dict,
-                          benchmark: DataFrame | None = None,
-                          text_col: str = "text",
-                          id_col: str = "doc_id",
-                          hash_family: str = "xxh64") -> DataFrame:
-    """Runs the configured steps of the corpus export chain over
-    `docs` and returns the resulting DataFrame (chunk-level once a
-    "chunk" step is present, doc-level before). Unknown step names
-    raise; "decontaminate" requires the `benchmark` frame.
-    """
+def _validate(cfg: dict, benchmark) -> None:
     unknown = set(cfg) - set(_STEP_ORDER)
     if unknown:
         raise ValueError(f"unknown corpus pipeline steps: {sorted(unknown)}")
-    out = docs
-    chunked = False
-    if "sample" in cfg:
-        c = dict(cfg["sample"])
+    if "pack" in cfg and "shuffle" not in cfg:
+        raise ValueError("pack step needs a shuffle step (rank "
+                         "order) before it")
+    if "decontaminate" in cfg and benchmark is None:
+        raise ValueError("decontaminate step needs benchmark=frame")
+
+
+def _apply_step(out: DataFrame, name: str, params: dict, *,
+                benchmark, text_col: str, id_col: str,
+                hash_family: str, mixed: bool,
+                chunked: bool) -> DataFrame:
+    """One pipeline step over `out`. `mixed`/`chunked` say whether a
+    mix/chunk step ran EARLIER in the chain (they change the shuffle
+    key and the chunk carry columns); both execution forms thread
+    them from the same cfg, so the forms stay row-for-row equal."""
+    if name == "sample":
+        c = dict(params)
         if "fractions" in c:
-            out = sampling.stratified_sample(
+            return sampling.stratified_sample(
                 out, c["fractions"], strata_col=c["strata_col"],
                 key_col=id_col,
                 default_fraction=c.get("default_fraction", 0.0),
                 seed=c.get("seed", 0), hash_family=hash_family)
-        else:
-            out = sampling.hash_sample(
-                out, c["fraction"], key_col=id_col,
-                seed=c.get("seed", 0), hash_family=hash_family)
-    if "clean" in cfg:
+        return sampling.hash_sample(
+            out, c["fraction"], key_col=id_col,
+            seed=c.get("seed", 0), hash_family=hash_family)
+    if name == "clean":
         # PII masking BEFORE quality: the quality rules must judge
         # the text that will actually ship. Row-local JVM regexp -
         # rides in the same codegen span as the sample filter.
-        c = dict(cfg["clean"])
-        out = text_metrics.pii_redact(out, text_col=text_col,
-                                      counts=c.get("counts", False),
-                                      **{k: v for k, v in c.items()
-                                         if k == "patterns"})
-    if "quality" in cfg:
+        c = dict(params)
+        return text_metrics.pii_redact(out, text_col=text_col,
+                                       counts=c.get("counts", False),
+                                       **{k: v for k, v in c.items()
+                                          if k == "patterns"})
+    if name == "quality":
         # row-local predicate: no join, no extra pass - the Gopher
         # conjunction filters in place inside the same codegen span.
-        out = out.filter(text_metrics.gopher_pass(
-            text_col=text_col, **cfg["quality"]))
-    if "dedup" in cfg:
-        c = dict(cfg["dedup"])
+        return out.filter(text_metrics.gopher_pass(
+            text_col=text_col, **params))
+    if name == "dedup":
+        c = dict(params)
         quality_col = c.pop("quality_col", None)
         pairs = dedup.minhash_duplicate_pairs(out, text_col=text_col,
                                               id_col=id_col, **c)
-        out = dedup.dedup_survivors(out, pairs, id_col=id_col,
-                                    quality_col=quality_col)
-    if "substrings" in cfg:
+        return dedup.dedup_survivors(out, pairs, id_col=id_col,
+                                     quality_col=quality_col)
+    if name == "substrings":
         # duplicate-run cuts AFTER doc-level dedup (Lee et al. run
         # ExactSubstr in addition to NearDup: doc dedup first shrinks
         # the occurrence table this step shuffles), before
         # decontamination (the benchmark n-gram join should see the
         # text that ships).
-        out = dedup.substring_dedup(out, text_col=text_col,
-                                    id_col=id_col, metrics=False,
-                                    **cfg["substrings"])
-    if "decontaminate" in cfg:
-        if benchmark is None:
-            raise ValueError("decontaminate step needs benchmark=frame")
-        out = dedup.decontaminate(out, benchmark, text_col=text_col,
-                                  id_col=id_col,
-                                  **cfg["decontaminate"])
-    if "mix" in cfg:
+        return dedup.substring_dedup(out, text_col=text_col,
+                                     id_col=id_col, metrics=False,
+                                     **params)
+    if name == "decontaminate":
+        return dedup.decontaminate(out, benchmark, text_col=text_col,
+                                   id_col=id_col, **params)
+    if name == "mix":
         # after dedup/decontamination (epochs of a clean corpus),
         # before chunking (the epoch column rides into the chunks).
-        c = dict(cfg["mix"])
-        out = sampling.mix_corpus(
+        c = dict(params)
+        return sampling.mix_corpus(
             out, c["rates"], strata_col=c.get("strata_col", "source"),
             key_col=id_col, default_rate=c.get("default_rate", 1.0),
             seed=c.get("seed", 0), hash_family=hash_family)
-    mixed = "mix" in cfg
-    if "chunk" in cfg:
-        out = chunking.chunk_documents(
+    if name == "chunk":
+        return chunking.chunk_documents(
             out, text_col=text_col, id_col=id_col,
-            carry_cols=("epoch",) if mixed else (), **cfg["chunk"])
-        chunked = True
-    if "shuffle" in cfg:
-        c = dict(cfg["shuffle"])
+            carry_cols=("epoch",) if mixed else (), **params)
+    if name == "shuffle":
+        c = dict(params)
         if chunked or mixed:
             parts = [F.col(id_col).cast("string")]
             if mixed:
@@ -142,15 +156,117 @@ def build_corpus_pipeline(docs: DataFrame, cfg: dict,
                                     seed=c.get("seed", 0),
                                     hash_family=hash_family,
                                     n_buckets=c.get("n_buckets", 1024))
-        if chunked or mixed:
-            out = out.drop("_k")
-    if "pack" in cfg:
-        if "shuffle" not in cfg:
-            raise ValueError("pack step needs a shuffle step (rank "
-                             "order) before it")
-        out = chunking.pack_sequences(
-            out, budget=cfg["pack"]["budget"], order_col="rank",
+        return out.drop("_k") if (chunked or mixed) else out
+    if name == "pack":
+        return chunking.pack_sequences(
+            out, budget=params["budget"], order_col="rank",
             tokens_col="chunk_tokens" if chunked else
-            cfg["pack"].get("tokens_col", "chunk_tokens"),
-            bucket_size=cfg["pack"].get("bucket_size", 1 << 20))
+            params.get("tokens_col", "chunk_tokens"),
+            bucket_size=params.get("bucket_size", 1 << 20))
+    raise ValueError(f"unknown step {name!r}")
+
+
+def build_corpus_pipeline(docs: DataFrame, cfg: dict,
+                          benchmark: DataFrame | None = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          hash_family: str = "xxh64") -> DataFrame:
+    """Runs the configured steps of the corpus export chain over
+    `docs` and returns the resulting DataFrame (chunk-level once a
+    "chunk" step is present, doc-level before) as ONE lazy
+    composition. Unknown step names raise; "decontaminate" requires
+    the `benchmark` frame.
+    """
+    _validate(cfg, benchmark)
+    out = docs
+    mixed = chunked = False
+    for name in _STEP_ORDER:
+        if name not in cfg:
+            continue
+        out = _apply_step(out, name, cfg[name], benchmark=benchmark,
+                          text_col=text_col, id_col=id_col,
+                          hash_family=hash_family, mixed=mixed,
+                          chunked=chunked)
+        mixed = mixed or name == "mix"
+        chunked = chunked or name == "chunk"
+    return out
+
+
+def _stage_fingerprint(name: str, params: dict, upstream: str) -> str:
+    """Content key for a stage: its config + the upstream chain's
+    fingerprint, so editing ANY earlier stage's config invalidates
+    everything downstream (and nothing upstream)."""
+    blob = json.dumps({"step": name, "cfg": params, "up": upstream},
+                      sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def run_corpus_pipeline_checkpointed(
+        docs: DataFrame, cfg: dict, base_dir: str,
+        benchmark: DataFrame | None = None,
+        input_fingerprint: str = "",
+        text_col: str = "text", id_col: str = "doc_id",
+        hash_family: str = "xxh64") -> DataFrame:
+    """Stage-materialized, RESUMABLE form of the corpus pipeline: each
+    configured step writes its output parquet under
+    `base_dir/NN_<step>/` with a sibling manifest recording the stage
+    fingerprint (step config + upstream fingerprint + the caller's
+    `input_fingerprint` for the source table) and the row count. A
+    relaunch reuses every stage whose manifest matches and whose
+    parquet committed (_SUCCESS); the first torn or config-changed
+    stage and everything after it recompute - the corpus sibling of
+    plans/checkpoint.run_partitioned, same semantics as the
+    reference's pipeline resume.
+
+    Each recomputed stage reads the PREVIOUS stage's parquet, so no
+    stage re-derives upstream work (the lazy form's multi-reference
+    steps do - see corpus_e2e_clean's plan note), and a mid-chain
+    failure costs one stage, not the run. Returns the final stage
+    read back from parquet; row-for-row equal to
+    `build_corpus_pipeline` on the same inputs (tested).
+    """
+    _validate(cfg, benchmark)
+    spark = docs.sparkSession
+    out = docs
+    upstream = f"input:{input_fingerprint}"
+    mixed = chunked = False
+    idx = 0
+    for name in _STEP_ORDER:
+        if name not in cfg:
+            continue
+        fp = _stage_fingerprint(name, cfg[name], upstream)
+        path = os.path.join(base_dir, f"{idx:02d}_{name}")
+        man_path = path + ".manifest.json"
+        committed = os.path.exists(os.path.join(path, "_SUCCESS"))
+        manifest = None
+        if committed and os.path.exists(man_path):
+            with open(man_path) as f:
+                manifest = json.load(f)
+        if manifest is not None and manifest.get("fingerprint") == fp:
+            out = spark.read.parquet(path)
+        else:
+            out = _apply_step(out, name, cfg[name],
+                              benchmark=benchmark, text_col=text_col,
+                              id_col=id_col, hash_family=hash_family,
+                              mixed=mixed, chunked=chunked)
+            out.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+            # manifest AFTER the parquet commit: a crash between the
+            # two leaves a committed dir with no manifest, which the
+            # relaunch treats as torn and recomputes (never trusts)
+            with open(man_path, "w") as f:
+                json.dump({"fingerprint": fp, "step": name,
+                           "rows": out.count()}, f)
+        upstream = fp
+        mixed = mixed or name == "mix"
+        chunked = chunked or name == "chunk"
+        idx += 1
+    # every stage result is parquet now - the dedup/decontaminate
+    # truncated-lineage blocks back nothing reachable, so release
+    # them here instead of leaking them into the session (the lazy
+    # form can't: its returned frame may still read them)
+    if "dedup" in cfg:
+        dedup.release_survivors_state()
+    if "decontaminate" in cfg:
+        dedup.release_decontaminate_state()
     return out

@@ -130,3 +130,77 @@ def test_corpus_pipeline_clean_and_substrings_steps(spark):
     assert out.loc[1, "text"].startswith("mail me at <EMAIL>")
     assert "one two three four five six seven eight" in out.loc[2, "text"]
     assert "one two three" not in out.loc[3, "text"]
+
+
+def test_corpus_pipeline_checkpointed_resume(spark, tmp_path):
+    import json
+    import os
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = {
+        "sample": {"fractions": {"en": 1.0, "de": 0.5},
+                   "strata_col": "lang", "default_fraction": 0.5,
+                   "seed": 7},
+        "clean": {},
+        "quality": {"min_words": 20,
+                    "stopwords": ("scan", "column", "window", "order")},
+        "substrings": {"window": 8},
+        "chunk": {"max_tokens": 32, "overlap": 4},
+        "shuffle": {"seed": 13, "n_buckets": 16},
+        "pack": {"budget": 64, "bucket_size": 32},
+    }
+    base = str(tmp_path / "stages")
+    got = corpus.run_corpus_pipeline_checkpointed(
+        docs, cfg, base, input_fingerprint="sf0001-docs").toPandas()
+    lazy = corpus.build_corpus_pipeline(docs, cfg).toPandas()
+    key = ["doc_id", "chunk_id", "rank"]
+    assert got.sort_values(key).reset_index(drop=True) \
+        .equals(lazy.sort_values(key).reset_index(drop=True))
+    stages = sorted(d for d in os.listdir(base)
+                    if not d.endswith(".json"))
+    assert stages == ["00_sample", "01_clean", "02_quality",
+                      "03_substrings", "04_chunk", "05_shuffle",
+                      "06_pack"]
+    mt = {d: os.path.getmtime(os.path.join(base, d, "_SUCCESS"))
+          for d in stages}
+    # clean relaunch: every stage reused, nothing rewritten
+    again = corpus.run_corpus_pipeline_checkpointed(
+        docs, cfg, base, input_fingerprint="sf0001-docs").toPandas()
+    assert again.sort_values(key).reset_index(drop=True) \
+        .equals(got.sort_values(key).reset_index(drop=True))
+    for d in stages:
+        assert os.path.getmtime(os.path.join(base, d, "_SUCCESS")) \
+            == mt[d], d
+    # torn mid-chain stage: ONLY that stage recomputes - its
+    # fingerprint is unchanged, and stages are deterministic, so the
+    # already-committed downstream parquet stays valid (downstream
+    # invalidation is the CONFIG-change case below). Output unchanged.
+    os.remove(os.path.join(base, "03_substrings", "_SUCCESS"))
+    fixed = corpus.run_corpus_pipeline_checkpointed(
+        docs, cfg, base, input_fingerprint="sf0001-docs").toPandas()
+    assert fixed.sort_values(key).reset_index(drop=True) \
+        .equals(got.sort_values(key).reset_index(drop=True))
+    assert os.path.getmtime(
+        os.path.join(base, "03_substrings", "_SUCCESS")) > mt[
+            "03_substrings"]
+    for d in stages:
+        if d != "03_substrings":
+            assert os.path.getmtime(os.path.join(
+                base, d, "_SUCCESS")) == mt[d], d
+    # config edit mid-chain: downstream-only invalidation via the
+    # chained fingerprints
+    mt2 = {d: os.path.getmtime(os.path.join(base, d, "_SUCCESS"))
+           for d in stages}
+    cfg2 = dict(cfg)
+    cfg2["substrings"] = {"window": 6}
+    corpus.run_corpus_pipeline_checkpointed(
+        docs, cfg2, base, input_fingerprint="sf0001-docs")
+    for d in stages[:3]:
+        assert os.path.getmtime(os.path.join(base, d, "_SUCCESS")) \
+            == mt2[d], d
+    for d in stages[3:]:
+        assert os.path.getmtime(os.path.join(base, d, "_SUCCESS")) \
+            > mt2[d], d
+    # manifests carry the row counts (lineage/metrics record)
+    with open(os.path.join(base, "06_pack.manifest.json")) as f:
+        m = json.load(f)
+    assert m["rows"] > 0 and m["step"] == "pack"
