@@ -1022,6 +1022,15 @@ def substring_dedup(df: DataFrame, window: int = 8,
                                F.col("_n")) - F.lit(1))).alias("_j"))
            .groupBy(id_col)
            .agg(F.collect_set("_j").alias("_rm")))
+    return _cut_token_positions(df, cov, text_col, id_col, metrics)
+
+
+def _cut_token_positions(df: DataFrame, cov: DataFrame, text_col: str,
+                         id_col: str, metrics: bool) -> DataFrame:
+    """Rebuilds `text_col` dropping the token positions in `cov`
+    ((id, _rm array<int>), one row per affected doc - unaffected docs
+    pass through on the left join). JVM-side filter-by-index; shared
+    by the batch operator and the streaming per-batch form."""
     out = df.join(cov, on=id_col, how="left")
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda t: t != "")

@@ -1,0 +1,139 @@
+"""Streaming duplicate-substring removal: the batch ExactSubstr pass
+(operators/dedup.substring_dedup) composed onto a micro-batch stream
+with CROSS-BATCH window-fingerprint state.
+
+A late-arriving document must have its window-token runs cut when the
+same run was already delivered in an EARLIER micro-batch - otherwise a
+crawler that re-fetches boilerplate across days re-introduces every
+duplicate the batch pass would have cut. State is the DISTINCT set of
+window fingerprints seen so far (8 bytes each, appended per batch
+under `state_dir`). Unlike the survivors stream's O(docs) signature
+state, this state is O(distinct windows) - inherent to substring
+dedup (the state IS the window inverted index, minus postings); at
+10^12 docs it is a large hash-partitioned table and the per-batch
+membership probe below is the bucketed semi-join against it.
+
+Per micro-batch (foreachBatch, the documented batch-composition
+point):
+
+  1. positional window fingerprints of the batch
+     (dedup.window_fingerprints_col - one Arrow pass);
+  2. an occurrence is cut iff its fingerprint is IN STATE (seen in an
+     earlier batch - every batch occurrence cuts, there is no
+     first-keeper left to protect) OR it is a repeat within this
+     batch (batch-local keep-first rank by (id, position), the batch
+     operator's rule);
+  3. covered positions aggregate per doc and the cut text rebuilds
+     through the same `_cut_token_positions` the batch operator uses;
+     rebuilt rows append to `out_dir`;
+  4. the batch's distinct NEW fingerprints append to `state_dir`.
+
+First-arrival-wins contract (append-only output cannot retract): the
+occurrence that SURVIVES a duplicated run is the first to ARRIVE, not
+the global (doc_id, position) minimum. When batches deliver documents
+in ascending doc_id order the two orders coincide and the streamed
+output is row-identical to batch `substring_dedup(min_count=2,
+keep_first=True)` over the union of all batches (tested); under
+out-of-order delivery the same occurrences are cut in the same
+number, only WHICH copy survives differs (tested). min_count is fixed
+at 2: higher thresholds need per-fingerprint counts in state, not
+membership - a different (heavier) state contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geeflow_spark.operators import dedup
+
+
+def substring_foreach_batch(state_dir: str, out_dir: str,
+                            window: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """Returns the foreachBatch function; wire it with
+    stream.writeStream.foreachBatch(...) or use
+    start_substring_stream for the assembled query."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sc = spark.sparkContext
+        fps = dedup.window_fingerprints_col(F.col(text_col), window)
+        # one Arrow pass, materialized: consumed by the cut pipeline
+        # AND the state append (without the checkpoint the UDF would
+        # run twice per batch). The id-diff window runs under the
+        # module _cc_lock (context-wide persistent-RDD diffs must be
+        # serialized - the survivors-stream invariant), and the
+        # blocks are released by id (DataFrame.unpersist does not
+        # reach localCheckpoint blocks).
+        with dedup._cc_lock:
+            before = dedup._persistent_rdd_ids(sc)
+            occ = (batch_df
+                   .select(F.col(id_col),
+                           F.size(F.filter(
+                               F.split(F.trim(F.col(text_col)),
+                                       r"\s+"),
+                               lambda t: t != "")).alias("_n"),
+                           fps.alias("_fp"))
+                   .select(id_col, "_n",
+                           F.posexplode_outer("_fp").alias("_p", "_f"))
+                   .filter(F.col("_f").isNotNull())
+                   .localCheckpoint())
+            occ_ids = dedup._persistent_rdd_ids(sc) - before
+        try:
+            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+                seen = spark.read.parquet(state_dir)
+            else:
+                seen = spark.createDataFrame([], "_f long")
+            hit = (occ.join(seen.withColumn("_seen", F.lit(True)),
+                            "_f", "left")
+                   .withColumn("_seen", F.coalesce(F.col("_seen"),
+                                                   F.lit(False))))
+            wfo = Window.partitionBy("_f").orderBy(id_col, "_p")
+            cnt = F.count("*").over(Window.partitionBy("_f"))
+            ranked = hit.select(
+                id_col, "_n", "_p", "_seen",
+                cnt.alias("_cnt"),
+                F.row_number().over(wfo).alias("_rn"))
+            removed = ranked.filter(
+                F.col("_seen")
+                | ((F.col("_cnt") >= 2) & (F.col("_rn") >= 2)))
+            cov = (removed
+                   .select(id_col,
+                           F.explode(F.sequence(
+                               F.col("_p"),
+                               F.least(F.col("_p") + F.lit(window),
+                                       F.col("_n")) - F.lit(1)))
+                           .alias("_j"))
+                   .groupBy(id_col)
+                   .agg(F.collect_set("_j").alias("_rm")))
+            out = dedup._cut_token_positions(batch_df, cov, text_col,
+                                             id_col, metrics=False)
+            # output FIRST (it consumes the occurrence checkpoint),
+            # then the state append
+            out.write.mode("append").parquet(out_dir)
+            (occ.select("_f").distinct()
+             .join(seen, "_f", "left_anti")
+             .write.mode("append").parquet(state_dir))
+        finally:
+            dedup._release_rdds(sc, occ_ids)
+
+    return process
+
+
+def start_substring_stream(docs_stream: DataFrame, state_dir: str,
+                           out_dir: str, checkpoint_dir: str,
+                           **kwargs):
+    """Assembled availableNow query: drains everything currently in
+    the source through the substring-dedup pipeline and stops;
+    re-launch to pick up late files (exactly-once file pickup via the
+    stream checkpoint - the streaming/ingest.py pattern)."""
+    return (docs_stream.writeStream
+            .foreachBatch(substring_foreach_batch(state_dir, out_dir,
+                                                  **kwargs))
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())

@@ -901,3 +901,29 @@ def test_sq8_quantize_and_topk(spark):
         got_top = set(topk[topk.query_id == qi]["vec_id"])
         hits += len(ref_top & got_top)
     assert hits >= 20  # recall@5 >= 0.8 over 25 slots
+
+
+def test_new_ops_plan_shapes(spark):
+    # Lock the scale-relevant physical-plan properties of the round-6
+    # operators (the PLANS.md audit, as regression tests):
+    # - pii_redact: zero exchanges, zero Python (one codegen span)
+    # - substring_dedup: exactly ONE Arrow boundary (the fingerprint
+    #   UDF must not be re-evaluated below an inferred-filter push -
+    #   the explode_outer lesson) and no more than 3 exchanges
+    #   (spread, fingerprint window, per-doc position agg)
+    import re
+    from geeflow_spark.operators import text_metrics as tm
+
+    def detail_nodes(df, name):
+        s = df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        return len(re.findall(rf"^\(\d+\) {name}", s, re.M))
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    pii = tm.pii_redact(docs)
+    assert detail_nodes(pii, "Exchange") == 0
+    assert detail_nodes(pii, "ArrowEvalPython") == 0
+    ss = dedup.substring_dedup(docs, window=8)
+    assert detail_nodes(ss, "ArrowEvalPython") == 1
+    assert detail_nodes(ss, "Exchange") <= 3

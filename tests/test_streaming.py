@@ -338,3 +338,104 @@ def test_stream_survivors_bridge_doc_overkeeps_documented(spark,
     assert batch_ans == ["docA", "docF"]  # batch keeps only min id
     assert set(batch_ans) <= set(got)     # over-keep, never over-drop
     dedup.release_survivors_state()
+
+
+def test_stream_substring_dedup_cross_batch(spark, tmp_path):
+    # ExactSubstr on a stream: duplicated window runs SPAN batch
+    # boundaries (a late doc quoting an earlier batch's run must be
+    # cut), and with in-id-order delivery the streamed output equals
+    # batch substring_dedup over the union of all batches.
+    import numpy as np
+    import pandas as pd
+
+    from geeflow_spark.operators import dedup
+    from geeflow_spark.streaming import substring_stream
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = {}
+    for i in range(36):
+        texts[f"doc{i:04d}"] = " ".join(rng.choice(vocab, 20))
+    # cross-batch quotes: batch-2 doc quotes a batch-1 run; batch-3
+    # doc quotes the BATCH-2 occurrence (already cut there - state
+    # membership must still cut the batch-3 copy); an exact
+    # within-batch-3 dup; a whole-doc short dup across batches.
+    run = texts["doc0003"].split()[4:12]          # 8-token run
+    texts["doc0014"] = " ".join(
+        texts["doc0014"].split()[:6] + run
+        + texts["doc0014"].split()[14:])
+    texts["doc0026"] = " ".join(run + texts["doc0026"].split()[8:])
+    texts["doc0030"] = texts["doc0029"]
+    texts["doc0007"] = "tiny short doc"
+    texts["doc0033"] = "tiny short doc"            # whole-doc window dup
+    ids = sorted(texts)
+    batches = [ids[:12], ids[12:24], ids[24:]]
+
+    land = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    schema = None
+    for b in batches:
+        pdf = pd.DataFrame({"doc_id": b, "text": [texts[i] for i in b]})
+        df = spark.createDataFrame(pdf)
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(land)
+        q = substring_stream.start_substring_stream(
+            spark.readStream.schema(schema).parquet(land),
+            state, out, ckpt, window=8)
+        q.awaitTermination(120)
+
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert len(got) == len(ids)  # exactly-once, every doc emitted
+    alldocs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ids, "text": [texts[i] for i in ids]}))
+    exp = {r["doc_id"]: r["text"]
+           for r in dedup.substring_dedup(alldocs, window=8,
+                                          metrics=False).collect()}
+    assert got == exp
+    # the planted cuts really happened
+    assert " ".join(run) not in got["doc0014"]
+    assert " ".join(run) not in got["doc0026"]
+    assert " ".join(run) in got["doc0003"]        # first keeper intact
+    assert got["doc0030"] == ""                    # exact dup emptied
+    assert got["doc0033"] == ""                    # cross-batch short dup
+    assert got["doc0007"] == "tiny short doc"
+    # no storage creep: the per-batch occurrence checkpoints released
+    assert not dedup._persistent_rdd_ids(spark.sparkContext)
+
+
+def test_stream_substring_dedup_out_of_order(spark, tmp_path):
+    # out-of-order delivery: first-ARRIVAL wins (doc0020 arrives in
+    # batch 1, the global-min doc0001 in batch 2) - the same run is
+    # cut the same number of times, only which copy survives differs
+    # from the batch answer.
+    import pandas as pd
+
+    from geeflow_spark.streaming import substring_stream
+
+    # distinct suffixes directly after the shared run, so only the
+    # pure run windows collide (a shared token at position 8 would
+    # extend the cut through the overlapping windows)
+    run = " ".join(f"t{i}" for i in range(8))
+    rows = {"doc0020": run + " twenty tailA",
+            "doc0001": run + " one tailB"}
+    land = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+    schema = None
+    for b in (["doc0020"], ["doc0001"]):
+        pdf = pd.DataFrame({"doc_id": b, "text": [rows[i] for i in b]})
+        df = spark.createDataFrame(pdf)
+        schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(land)
+        q = substring_stream.start_substring_stream(
+            spark.readStream.schema(schema).parquet(land),
+            state, out, ckpt, window=8)
+        q.awaitTermination(120)
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert got["doc0020"] == rows["doc0020"]   # first arrival keeps
+    assert got["doc0001"] == "one tailB"       # later global-min cut
