@@ -989,20 +989,8 @@ def substring_dedup(df: DataFrame, window: int = 8,
     repeats count as distinct occurrences (a doc repeating its own
     window keeps only the first copy).
     """
-    fps = window_fingerprints_col(F.col(text_col), window)
-    # explode_outer + isNotNull, NOT posexplode: a plain generator
-    # makes Catalyst infer size(arr)>0 and push it below the spread
-    # exchange, re-running the fingerprint UDF over the whole corpus
-    # (the containment_pairs lesson).
-    occ = (_spread(df, spread)
-           .select(F.col(id_col),
-                   F.size(F.filter(F.split(F.trim(F.col(text_col)),
-                                           r"\s+"),
-                                   lambda t: t != "")).alias("_n"),
-                   fps.alias("_fp"))
-           .select(id_col, "_n",
-                   F.posexplode_outer("_fp").alias("_p", "_f"))
-           .filter(F.col("_f").isNotNull()))
+    occ = _window_occurrences(_spread(df, spread), window, text_col,
+                              id_col)
     wf = Window.partitionBy("_f")
     wfo = Window.partitionBy("_f").orderBy(id_col, "_p")
     ranked = occ.select(
@@ -1012,17 +1000,45 @@ def substring_dedup(df: DataFrame, window: int = 8,
     removed = ranked.filter(
         (F.col("_cnt") >= min_count)
         & (F.col("_rn") >= (2 if keep_first else 1)))
-    # covered token positions; the short-doc whole-text fingerprint
-    # covers [0, T) - least() clamps the window run to the doc.
-    cov = (removed
-           .select(id_col,
-                   F.explode(F.sequence(
-                       F.col("_p"),
-                       F.least(F.col("_p") + F.lit(window),
-                               F.col("_n")) - F.lit(1))).alias("_j"))
-           .groupBy(id_col)
-           .agg(F.collect_set("_j").alias("_rm")))
+    cov = _covered_positions(removed, window, id_col)
     return _cut_token_positions(df, cov, text_col, id_col, metrics)
+
+
+def _window_occurrences(df: DataFrame, window: int, text_col: str,
+                        id_col: str) -> DataFrame:
+    """Positional window-fingerprint occurrence rows
+    (id, _n token count, _p position, _f fingerprint) - the 24-byte
+    shuffle currency of substring dedup, shared by the batch operator
+    and the streaming per-batch form. explode_outer + isNotNull, NOT
+    a plain generator: plain explode makes Catalyst infer
+    size(arr) > 0 and push it below upstream exchanges, re-running
+    the fingerprint UDF over the whole corpus (the containment_pairs
+    lesson)."""
+    fps = window_fingerprints_col(F.col(text_col), window)
+    return (df.select(F.col(id_col),
+                      F.size(F.filter(
+                          F.split(F.trim(F.col(text_col)), r"\s+"),
+                          lambda t: t != "")).alias("_n"),
+                      fps.alias("_fp"))
+            .select(id_col, "_n",
+                    F.posexplode_outer("_fp").alias("_p", "_f"))
+            .filter(F.col("_f").isNotNull()))
+
+
+def _covered_positions(removed: DataFrame, window: int,
+                       id_col: str) -> DataFrame:
+    """Removed occurrences (id, _n, _p) -> (id, _rm array<int>) of
+    covered token positions, one row per affected doc. The short-doc
+    whole-text fingerprint covers [0, T) - least() clamps the window
+    run to the doc."""
+    return (removed
+            .select(id_col,
+                    F.explode(F.sequence(
+                        F.col("_p"),
+                        F.least(F.col("_p") + F.lit(window),
+                                F.col("_n")) - F.lit(1))).alias("_j"))
+            .groupBy(id_col)
+            .agg(F.collect_set("_j").alias("_rm")))
 
 
 def _cut_token_positions(df: DataFrame, cov: DataFrame, text_col: str,

@@ -161,7 +161,10 @@ def sq8_quantize(df: DataFrame, vec_col: str = "embedding",
     if dim is None:
         dim = _infer_dim(df, vec_col)
     v = F.col(vec_col)
-    if dim and dim <= _NORM_UNROLL_MAX_DIM:
+    if dim == 1:
+        # F.greatest requires >= 2 columns
+        m = F.abs(v[0].cast("double"))
+    elif dim and dim <= _NORM_UNROLL_MAX_DIM:
         m = F.greatest(*[F.abs(v[i].cast("double")) for i in range(dim)])
     else:
         m = F.array_max(F.transform(v, lambda x:

@@ -99,11 +99,12 @@ def _apply_step(out: DataFrame, name: str, params: dict, *,
         # PII masking BEFORE quality: the quality rules must judge
         # the text that will actually ship. Row-local JVM regexp -
         # rides in the same codegen span as the sample filter.
+        # Unknown keys raise (every other step's **params contract) -
+        # a 'pattern'/'count' typo must not silently run the defaults.
         c = dict(params)
+        counts = c.pop("counts", False)
         return text_metrics.pii_redact(out, text_col=text_col,
-                                       counts=c.get("counts", False),
-                                       **{k: v for k, v in c.items()
-                                          if k == "patterns"})
+                                       counts=counts, **c)
     if name == "quality":
         # row-local predicate: no join, no extra pass - the Gopher
         # conjunction filters in place inside the same codegen span.
@@ -192,12 +193,15 @@ def build_corpus_pipeline(docs: DataFrame, cfg: dict,
     return out
 
 
-def _stage_fingerprint(name: str, params: dict, upstream: str) -> str:
+def _stage_fingerprint(name: str, params: dict, upstream: str,
+                       env: dict) -> str:
     """Content key for a stage: its config + the upstream chain's
-    fingerprint, so editing ANY earlier stage's config invalidates
-    everything downstream (and nothing upstream)."""
-    blob = json.dumps({"step": name, "cfg": params, "up": upstream},
-                      sort_keys=True, default=str)
+    fingerprint + the run environment (hash_family/text_col/id_col,
+    and the benchmark identity for decontaminate), so editing ANY
+    earlier stage's config - or relaunching under different settings -
+    invalidates everything downstream (and nothing upstream)."""
+    blob = json.dumps({"step": name, "cfg": params, "up": upstream,
+                       "env": env}, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
@@ -205,6 +209,8 @@ def run_corpus_pipeline_checkpointed(
         docs: DataFrame, cfg: dict, base_dir: str,
         benchmark: DataFrame | None = None,
         input_fingerprint: str = "",
+        benchmark_fingerprint: str = "",
+        record_rows: bool = True,
         text_col: str = "text", id_col: str = "doc_id",
         hash_family: str = "xxh64") -> DataFrame:
     """Stage-materialized, RESUMABLE form of the corpus pipeline: each
@@ -224,17 +230,33 @@ def run_corpus_pipeline_checkpointed(
     failure costs one stage, not the run. Returns the final stage
     read back from parquet; row-for-row equal to
     `build_corpus_pipeline` on the same inputs (tested).
+
+    Stage fingerprints fold in the run settings (hash_family /
+    text_col / id_col) and, for decontaminate, `benchmark_fingerprint`
+    (the caller's identity string for the benchmark frame - pass one
+    whenever the benchmark can change between relaunches); a relaunch
+    under different settings recomputes instead of silently reusing
+    stale parquet. `input_fingerprint` plays the same role for the
+    source table. Manifests are written with driver-local file IO -
+    the same convention as plans/checkpoint (base_dir must be on a
+    filesystem the driver sees: local, NFS, or a fuse mount; the
+    stage PARQUET goes through Spark and can live anywhere).
     """
     _validate(cfg, benchmark)
     spark = docs.sparkSession
     out = docs
     upstream = f"input:{input_fingerprint}"
     mixed = chunked = False
+    ran: set = set()
     idx = 0
     for name in _STEP_ORDER:
         if name not in cfg:
             continue
-        fp = _stage_fingerprint(name, cfg[name], upstream)
+        env = {"hash_family": hash_family, "text_col": text_col,
+               "id_col": id_col}
+        if name == "decontaminate":
+            env["benchmark"] = benchmark_fingerprint
+        fp = _stage_fingerprint(name, cfg[name], upstream, env)
         path = os.path.join(base_dir, f"{idx:02d}_{name}")
         man_path = path + ".manifest.json"
         committed = os.path.exists(os.path.join(path, "_SUCCESS"))
@@ -251,22 +273,33 @@ def run_corpus_pipeline_checkpointed(
                               mixed=mixed, chunked=chunked)
             out.write.mode("overwrite").parquet(path)
             out = spark.read.parquet(path)
+            ran.add(name)
             # manifest AFTER the parquet commit: a crash between the
             # two leaves a committed dir with no manifest, which the
-            # relaunch treats as torn and recomputes (never trusts)
+            # relaunch treats as torn and recomputes (never trusts).
+            # rows is the lineage/metrics record; it costs one extra
+            # count job per recomputed stage - record_rows=False
+            # skips it for giant stages (resume only reads
+            # "fingerprint").
+            rec = {"fingerprint": fp, "step": name}
+            if record_rows:
+                rec["rows"] = out.count()
             with open(man_path, "w") as f:
-                json.dump({"fingerprint": fp, "step": name,
-                           "rows": out.count()}, f)
+                json.dump(rec, f)
         upstream = fp
         mixed = mixed or name == "mix"
         chunked = chunked or name == "chunk"
         idx += 1
-    # every stage result is parquet now - the dedup/decontaminate
-    # truncated-lineage blocks back nothing reachable, so release
-    # them here instead of leaking them into the session (the lazy
-    # form can't: its returned frame may still read them)
-    if "dedup" in cfg:
+    # stage results this run COMPUTED are parquet now - their
+    # dedup/decontaminate truncated-lineage blocks back nothing
+    # reachable, so release them instead of leaking them into the
+    # session (the lazy form can't: its returned frame may still read
+    # them). Gated on the stage actually having RUN: on a fully
+    # cached relaunch the sweep would otherwise free state owned by
+    # OTHER live callers in the session (e.g. an unconsumed lazy
+    # pipeline's drop list).
+    if "dedup" in ran:
         dedup.release_survivors_state()
-    if "decontaminate" in cfg:
+    if "decontaminate" in ran:
         dedup.release_decontaminate_state()
     return out

@@ -28,6 +28,15 @@ point):
      rebuilt rows append to `out_dir`;
   4. the batch's distinct NEW fingerprints append to `state_dir`.
 
+Replay safety: foreachBatch is at-least-once - a crash between a
+sink write and the stream-checkpoint commit replays the batch. Both
+sinks are per-batch OVERWRITE partitions (batch_id=N, the
+streaming/ingest.py pattern) and the state read excludes the current
+batch's own partition, so a replay rewrites exactly its own output
+and state instead of appending duplicates or seeing its own
+half-committed fingerprints (tested by invoking the batch body twice
+with the same batch_id).
+
 First-arrival-wins contract (append-only output cannot retract): the
 occurrence that SURVIVES a duplicated run is the first to ARRIVE, not
 the global (doc_id, position) minimum. When batches deliver documents
@@ -42,8 +51,7 @@ membership - a different (heavier) state contract.
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,32 +69,31 @@ def substring_foreach_batch(state_dir: str, out_dir: str,
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sc = spark.sparkContext
-        fps = dedup.window_fingerprints_col(F.col(text_col), window)
-        # one Arrow pass, materialized: consumed by the cut pipeline
-        # AND the state append (without the checkpoint the UDF would
-        # run twice per batch). The id-diff window runs under the
-        # module _cc_lock (context-wide persistent-RDD diffs must be
-        # serialized - the survivors-stream invariant), and the
-        # blocks are released by id (DataFrame.unpersist does not
+        # one Arrow fingerprint pass, materialized: consumed by the
+        # cut pipeline AND the state write (without the checkpoint the
+        # UDF would run twice per batch). The id-diff window runs
+        # under the module _cc_lock (context-wide persistent-RDD diffs
+        # must be serialized - the survivors-stream invariant), and
+        # the blocks are released by id (DataFrame.unpersist does not
         # reach localCheckpoint blocks).
         with dedup._cc_lock:
             before = dedup._persistent_rdd_ids(sc)
-            occ = (batch_df
-                   .select(F.col(id_col),
-                           F.size(F.filter(
-                               F.split(F.trim(F.col(text_col)),
-                                       r"\s+"),
-                               lambda t: t != "")).alias("_n"),
-                           fps.alias("_fp"))
-                   .select(id_col, "_n",
-                           F.posexplode_outer("_fp").alias("_p", "_f"))
-                   .filter(F.col("_f").isNotNull())
-                   .localCheckpoint())
+            occ = dedup._window_occurrences(
+                batch_df, window, text_col, id_col).localCheckpoint()
             occ_ids = dedup._persistent_rdd_ids(sc) - before
         try:
-            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-                seen = spark.read.parquet(state_dir)
-            else:
+            # state read: everything EARLIER batches committed. The
+            # exclusion of this batch's own partition makes the whole
+            # body idempotent under foreachBatch's at-least-once
+            # replay - a crash after the state write but before the
+            # stream-checkpoint commit re-runs the batch, which must
+            # NOT see its own half-committed fingerprints as "seen"
+            # (it would cut the first keepers too).
+            try:
+                seen = (spark.read.parquet(state_dir)
+                        .filter(F.col("batch_id") != batch_id)
+                        .select("_f"))
+            except AnalysisException:  # first batch: no state yet
                 seen = spark.createDataFrame([], "_f long")
             hit = (occ.join(seen.withColumn("_seen", F.lit(True)),
                             "_f", "left")
@@ -101,23 +108,19 @@ def substring_foreach_batch(state_dir: str, out_dir: str,
             removed = ranked.filter(
                 F.col("_seen")
                 | ((F.col("_cnt") >= 2) & (F.col("_rn") >= 2)))
-            cov = (removed
-                   .select(id_col,
-                           F.explode(F.sequence(
-                               F.col("_p"),
-                               F.least(F.col("_p") + F.lit(window),
-                                       F.col("_n")) - F.lit(1)))
-                           .alias("_j"))
-                   .groupBy(id_col)
-                   .agg(F.collect_set("_j").alias("_rm")))
+            cov = dedup._covered_positions(removed, window, id_col)
             out = dedup._cut_token_positions(batch_df, cov, text_col,
                                              id_col, metrics=False)
-            # output FIRST (it consumes the occurrence checkpoint),
-            # then the state append
-            out.write.mode("append").parquet(out_dir)
+            # idempotent per-batch sinks (the streaming/ingest.py
+            # pattern): a replayed batch OVERWRITES its own batch_id
+            # partition instead of appending duplicates. Output first
+            # (it consumes the occurrence checkpoint), then state.
+            out.write.mode("overwrite") \
+                .parquet(f"{out_dir}/batch_id={batch_id}")
             (occ.select("_f").distinct()
              .join(seen, "_f", "left_anti")
-             .write.mode("append").parquet(state_dir))
+             .write.mode("overwrite")
+             .parquet(f"{state_dir}/batch_id={batch_id}"))
         finally:
             dedup._release_rdds(sc, occ_ids)
 

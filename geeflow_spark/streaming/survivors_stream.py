@@ -51,8 +51,8 @@ bridge case).
 
 from __future__ import annotations
 
-import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -129,9 +129,16 @@ def survivors_foreach_batch(state_dir: str, out_dir: str,
                                 .alias("_h"))
                         .localCheckpoint())
             sig_ids = dedup._persistent_rdd_ids(sc) - before
-            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-                seen = spark.read.parquet(state_dir)
-            else:
+            # state = earlier batches' signatures; excluding this
+            # batch's own partition makes the body idempotent under
+            # foreachBatch replay (a half-committed replayed batch
+            # must not see its own signatures as already-seen - every
+            # batch doc would drop as "component has a seen member")
+            try:
+                seen = (spark.read.parquet(state_dir)
+                        .filter(F.col("batch_id") != batch_id)
+                        .select(id_col, "_h"))
+            except AnalysisException:  # first batch: no state yet
                 seen = spark.createDataFrame([], sigs_new.schema)
             sigs_all = (sigs_new.withColumn("_new", F.lit(True))
                         .unionByName(seen.withColumn("_new",
@@ -159,8 +166,13 @@ def survivors_foreach_batch(state_dir: str, out_dir: str,
         survivors = batch_df.join(drop, id_col, "left_anti")
         # Output FIRST (it consumes the component checkpoint blocks),
         # then the state append, then release this batch's CC blocks.
-        survivors.write.mode("append").parquet(out_dir)
-        sigs_new.write.mode("append").parquet(state_dir)
+        # idempotent per-batch sinks (the streaming/ingest.py
+        # pattern): a replayed batch overwrites its own batch_id
+        # partition instead of appending duplicates
+        survivors.write.mode("overwrite") \
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        sigs_new.write.mode("overwrite") \
+            .parquet(f"{state_dir}/batch_id={batch_id}")
         # Release ONLY this batch's blocks (the label set the locked
         # CC call returned plus the signature checkpoint) - targeted
         # ids, not the global release_component_labels() sweep, so a

@@ -204,3 +204,51 @@ def test_corpus_pipeline_checkpointed_resume(spark, tmp_path):
     with open(os.path.join(base, "06_pack.manifest.json")) as f:
         m = json.load(f)
     assert m["rows"] > 0 and m["step"] == "pack"
+
+
+def test_corpus_pipeline_checkpointed_env_invalidation(spark, tmp_path):
+    # a relaunch under a different hash_family must NOT reuse stage
+    # parquet computed under the old one (the fingerprint folds in the
+    # run settings), and a fully-cached relaunch must not sweep
+    # survivors state owned by other callers in the session.
+    import os
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = {"sample": {"fractions": {"en": 1.0}, "strata_col": "lang",
+                      "default_fraction": 0.25, "seed": 7},
+           "dedup": {"num_perm": 32, "bands": 8,
+                     "verify_jaccard": 0.8, "shingle_k": 2}}
+    base = str(tmp_path / "stages")
+    a = corpus.run_corpus_pipeline_checkpointed(
+        docs, cfg, base, hash_family="xxh64").count()
+    mt = os.path.getmtime(os.path.join(base, "00_sample", "_SUCCESS"))
+    b = corpus.run_corpus_pipeline_checkpointed(
+        docs, cfg, base, hash_family="md5").count()
+    assert os.path.getmtime(os.path.join(
+        base, "00_sample", "_SUCCESS")) > mt  # recomputed, not reused
+    # xxh64 and md5 draws differ -> different sample sizes (sanity
+    # that the recompute actually changed the data, not just ran)
+    assert a != b
+    # fully-cached relaunch: another caller's live survivors state
+    # must survive (the release sweep is gated on stages that RAN)
+    other = dedup.dedup_survivors(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1, 2, 3],
+                          "text": ["same text here", "same text here",
+                                   "different entirely"]})),
+        spark.createDataFrame(pd.DataFrame({"a": [1], "b": [2]})))
+    before = dedup._persistent_rdd_ids(spark.sparkContext)
+    assert before  # the drop list is checkpointed state
+    corpus.run_corpus_pipeline_checkpointed(
+        docs, cfg, base, hash_family="md5")  # all stages cached
+    assert dedup._persistent_rdd_ids(spark.sparkContext) == before
+    assert sorted(r["doc_id"] for r in other.collect()) == [1, 3]
+    dedup.release_survivors_state()
+
+
+def test_corpus_pipeline_clean_step_typo_raises(spark):
+    import pytest as _pytest
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with _pytest.raises(TypeError):
+        corpus.build_corpus_pipeline(
+            docs, {"clean": {"pattern": []}}).collect()

@@ -901,6 +901,13 @@ def test_sq8_quantize_and_topk(spark):
         got_top = set(topk[topk.query_id == qi]["vec_id"])
         hits += len(ref_top & got_top)
     assert hits >= 20  # recall@5 >= 0.8 over 25 slots
+    # dim=1 edge (F.greatest needs >= 2 columns - guarded)
+    one = spark.createDataFrame([(0, [2.0]), (1, [-4.0]), (2, [0.0])],
+                                "vec_id long, embedding array<float>")
+    q1 = similarity.sq8_quantize(one, dim=1).toPandas() \
+        .set_index("vec_id").sort_index()
+    assert list(q1["qvec"]) == [[127], [-127], [0]]
+    assert list(q1["qscale"]) == [2.0 / 127, 4.0 / 127, 1.0]
 
 
 def test_new_ops_plan_shapes(spark):

@@ -439,3 +439,39 @@ def test_stream_substring_dedup_out_of_order(spark, tmp_path):
            for r in spark.read.parquet(out).collect()}
     assert got["doc0020"] == rows["doc0020"]   # first arrival keeps
     assert got["doc0001"] == "one tailB"       # later global-min cut
+
+
+def test_stream_substring_batch_replay_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: invoke the batch body TWICE with
+    # the same batch_id (a crash between sink write and checkpoint
+    # commit replays the batch). The per-batch overwrite sinks and the
+    # own-partition state exclusion must yield identical output - no
+    # duplicate rows, and the replay must NOT see its own fingerprints
+    # as seen (which would cut the first keepers too).
+    import pandas as pd
+
+    from geeflow_spark.streaming import substring_stream
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "clean")
+    fn = substring_stream.substring_foreach_batch(state, out, window=4)
+    run = "a b c d"
+    b1 = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ["d1", "d2"], "text": [run + " one", run + " two"]}))
+    fn(b1, 0)
+    first = {r["doc_id"]: r["text"]
+             for r in spark.read.parquet(out).collect()}
+    fn(b1, 0)  # replay
+    replay = [(r["doc_id"], r["text"])
+              for r in spark.read.parquet(out).collect()]
+    assert len(replay) == 2  # no duplicates appended
+    assert dict(replay) == first
+    assert first["d1"] == run + " one"  # first keeper NOT over-cut
+    assert first["d2"] == "two"
+    # a genuine second batch still sees batch-0 state
+    b2 = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ["d3"], "text": [run + " three"]}))
+    fn(b2, 1)
+    got = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(out).collect()}
+    assert got["d3"] == "three"
