@@ -375,6 +375,7 @@ def test_stream_substring_dedup_cross_batch(spark, tmp_path):
     state = str(tmp_path / "state")
     out = str(tmp_path / "clean")
     ckpt = str(tmp_path / "ckpt")
+    base_ids = dedup._persistent_rdd_ids(spark.sparkContext)
     schema = None
     for b in batches:
         pdf = pd.DataFrame({"doc_id": b, "text": [texts[i] for i in b]})
@@ -402,8 +403,10 @@ def test_stream_substring_dedup_cross_batch(spark, tmp_path):
     assert got["doc0030"] == ""                    # exact dup emptied
     assert got["doc0033"] == ""                    # cross-batch short dup
     assert got["doc0007"] == "tiny short doc"
-    # no storage creep: the per-batch occurrence checkpoints released
-    assert not dedup._persistent_rdd_ids(spark.sparkContext)
+    # no storage creep FROM THIS TEST: the per-batch occurrence
+    # checkpoints released (other suite tests may legitimately hold
+    # live state - assert no NEW ids, not a globally empty context)
+    assert dedup._persistent_rdd_ids(spark.sparkContext) <= base_ids
 
 
 def test_stream_substring_dedup_out_of_order(spark, tmp_path):
