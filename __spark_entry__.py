@@ -782,6 +782,25 @@ def _q_sim_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+def _q_sim_ivf_sq8(spark, sf_dir):
+    # The SQ8 x IVF composition under its own oracle: inverted lists
+    # store UNIT-quantized int8 payloads, probe scoring is the
+    # quantized-dot cosine approximation. Full probe makes the output
+    # the exact unit-SQ8 ranking - no k-means replay needed - so the
+    # oracle recomputes normalization, quantization, integer dot and
+    # both scales from the raw floats; score VALUES hash-match at 6dp
+    # (sequential-fold norm order pinned on both engines).
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ed = e.select("vec_id", "embedding")
+    q = ed.filter(F.col("vec_id") < 8) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(q, ed, k=3, n_centroids=8, nprobe=8,
+                              train_rows=512, quantize=True)
+    return out.select("query_id", "vec_id",
+                      F.round("score", 6).alias("score"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def _q_sim_lsh_topk(spark, sf_dir):
     # Sign-LSH ANN plumbing end-to-end under the oracle: per-band
     # bucket keys -> candidate bucket join -> id-pair dedup ->
@@ -985,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_pairs": _q_dedup_embedding,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_sq8_topk": _q_sim_sq8_topk,
+        "sim_ivf_sq8": _q_sim_ivf_sq8,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_lsh_pruned": _q_sim_lsh_pruned,
@@ -2129,6 +2149,46 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY qscore DESC, vec_id ASC) AS rnk
             FROM p)
           WHERE rnk <= 5
+        """,
+        # SQ8 x IVF: unit normalization (sequential-fold norm - the
+        # same left-fold order Spark's interpreted aggregate uses, via
+        # list_reduce, NOT list_sum whose float order is unspecified),
+        # scale-invariant quantization (the norm cancels inside q_i),
+        # exact integer dot, both unit scales; full probe = the exact
+        # unit-SQ8 ranking, so no k-means replay is needed.
+        "sim_ivf_sq8": """
+          WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+          s AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS m,
+                   sqrt(list_reduce([v[i+1] * v[i+1]
+                                     for i in range(0, 64)],
+                                    (a, b) -> a + b)) AS n
+            FROM e),
+          q8 AS (
+            SELECT vec_id,
+                   CASE WHEN n = 0 THEN 1.0
+                        ELSE (CASE WHEN m = 0 THEN 1.0
+                              ELSE m / 127.0 END) / n END AS sc,
+                   [floor(v[x+1] / (CASE WHEN m = 0 THEN 1.0
+                                    ELSE m / 127.0 END) + 0.5)
+                    for x in range(0, 64)] AS qv
+            FROM s),
+          p AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   list_sum([a.qv[x+1] * b.qv[x+1]
+                             for x in range(0, 64)])
+                     * a.sc * b.sc AS score
+            FROM q8 a, q8 b WHERE a.vec_id < 8)
+          SELECT query_id, vec_id, ROUND(score, 6) AS score,
+                 CAST(rnk AS BIGINT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, vec_id ASC) AS rnk
+            FROM p)
+          WHERE rnk <= 3
         """,
         "sim_cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings

@@ -101,7 +101,8 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_simhash_manku", "dedup_survivors", "dedup_spans",
         "dedup_containment", "dedup_survivors_quality",
         "dedup_substrings", "text_pii_redact",
-        "sim_cosine_topk", "sim_sq8_topk", "sim_ivf_topk", "sim_lsh_topk",
+        "sim_cosine_topk", "sim_sq8_topk", "sim_ivf_topk", "sim_ivf_sq8",
+        "sim_lsh_topk",
         "sim_lsh_pruned",
         "corpus_sample", "corpus_mix", "corpus_chunks",
         "corpus_shuffle_rank", "corpus_pack", "corpus_decontaminate",

@@ -129,7 +129,8 @@ def brute_force_topk(queries: DataFrame, data: DataFrame, k: int,
 
 def sq8_quantize(df: DataFrame, vec_col: str = "embedding",
                  id_col: str = "vec_id",
-                 dim: int | None = None) -> DataFrame:
+                 dim: int | None = None, unit: bool = False,
+                 keep: tuple = ()) -> DataFrame:
     """Per-vector symmetric int8 scalar quantization - the FAISS SQ8
     recipe: scale = max|x_i| / 127 (zero vectors get scale 1, so q=0),
     q_i = floor(x_i / scale + 0.5), exact-integer range [-127, 127].
@@ -157,6 +158,15 @@ def sq8_quantize(df: DataFrame, vec_col: str = "embedding",
     array build as unrolled codegen expressions; the fallback
     F.transform path is interpreted (one corpus pass, not per-pair -
     acceptable, but pass dim for big builds).
+
+    `unit=True` quantizes the UNIT-normalized vector v/||v|| - the
+    form that composes with IVF: a quantized dot of two unit-quantized
+    vectors approximates COSINE directly. The quantizer is
+    scale-invariant (q_i = floor(127 v_i / max|v_j| + 0.5) - the norm
+    cancels), so qvec is IDENTICAL to the raw form and only the scale
+    divides by the norm: qscale = max|v|/(127 ||v||). Zero vectors
+    keep scale 1. `keep` names extra input columns to carry through
+    (e.g. the IVF centroid assignment).
     """
     if dim is None:
         dim = _infer_dim(df, vec_col)
@@ -170,10 +180,19 @@ def sq8_quantize(df: DataFrame, vec_col: str = "embedding",
         m = F.array_max(F.transform(v, lambda x:
                                     F.abs(x.cast("double"))))
     sc = F.when(m == 0.0, F.lit(1.0)).otherwise(m / F.lit(127.0))
+    if unit:
+        n = _norm(v, dim)
+        sc = F.when(n == 0.0, F.lit(1.0)).otherwise(sc / n)
     # scale must be a per-row column BEFORE the element math so the
-    # unrolled form does not recompute the max per element
-    out = df.select(F.col(id_col), v.alias("_v"), sc.alias("qscale"))
-    s = F.col("qscale")
+    # unrolled form does not recompute the max per element. The
+    # ELEMENT scale is the raw abs-max/127 even in unit mode (the
+    # norm cancels inside q_i) - carried separately from the output
+    # qscale so the floor math never re-derives it.
+    esc = F.when(m == 0.0, F.lit(1.0)).otherwise(m / F.lit(127.0))
+    out = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                    v.alias("_v"), sc.alias("qscale"),
+                    esc.alias("_esc"))
+    s = F.col("_esc")
     if dim and dim <= _NORM_UNROLL_MAX_DIM:
         qv = F.array(*[F.floor(F.col("_v")[i].cast("double") / s
                                + F.lit(0.5)).cast("byte")
@@ -182,7 +201,7 @@ def sq8_quantize(df: DataFrame, vec_col: str = "embedding",
         qv = F.transform(F.col("_v"), lambda x:
                          F.floor(x.cast("double") / s
                                  + F.lit(0.5)).cast("byte"))
-    return out.select(id_col, qv.alias("qvec"), "qscale")
+    return out.select(id_col, *keep, qv.alias("qvec"), "qscale")
 
 
 def sq8_topk(queries: DataFrame, data: DataFrame, k: int,
@@ -346,12 +365,14 @@ class IVFIndex:
 
     def __init__(self, centroids: np.ndarray, lists: DataFrame,
                  data_id: str, path: str | None = None,
-                 vec_col: str | None = None):
+                 vec_col: str | None = None,
+                 quantized: bool = False):
         self.centroids = centroids
         self.lists = lists
         self.data_id = data_id
         self.path = path
         self.vec_col = vec_col  # vector column stored in lists, or None
+        self.quantized = quantized  # lists hold SQ8 (qvec, qscale)
 
     def release(self) -> None:
         if self.path is None:
@@ -362,7 +383,8 @@ def ivf_build(data: DataFrame, n_centroids: int = 64,
               train_rows: int = 16384, iters: int = 10, seed: int = 3,
               data_id: str = "vec_id", vec_col: str = "embedding",
               path: str | None = None,
-              store_vectors: bool = True) -> IVFIndex:
+              store_vectors: bool = True,
+              quantize: bool = False) -> IVFIndex:
     """Builds the IVF index: trains the coarse quantizer on a BOUNDED
     deterministic sample, then runs ONE distributed nearest-centroid
     assignment pass over the corpus and materializes the result (the
@@ -385,7 +407,17 @@ def ivf_build(data: DataFrame, n_centroids: int = 64,
     lists (one list per vector -> zero duplication), which is what
     makes the probe join-free; False stores bare ids (probes then
     rejoin `data`, the pre-r4 topology).
+
+    `quantize=True` stores SQ8 UNIT-quantized payloads (qvec
+    array<tinyint> + one qscale double) instead of the raw vector -
+    the sq8_quantize(unit=True) composition: probe scoring becomes
+    the quantized-dot cosine approximation and every inverted-list
+    file shrinks toward 1 byte/component (the 10^12-row probes are
+    bandwidth-bound - BENCH/SF1.md). Requires store_vectors=True.
     """
+    if quantize and not store_vectors:
+        raise ValueError("quantize=True requires store_vectors=True "
+                         "(the quantized payload IS the stored vector)")
     train = (data.orderBy(F.xxhash64(F.col(data_id)), F.col(data_id))
              .limit(train_rows).select(vec_col).toPandas())
     centroids = spherical_kmeans(np.stack(train[vec_col].to_numpy()),
@@ -394,6 +426,11 @@ def ivf_build(data: DataFrame, n_centroids: int = 64,
         ([F.col(vec_col)] if store_vectors else [])
     assigned = data.select(
         *cols, _assign_udf(centroids)(F.col(vec_col)).alias("_c"))
+    if quantize:
+        assigned = sq8_quantize(assigned, vec_col=vec_col,
+                                id_col=data_id,
+                                dim=int(centroids.shape[1]),
+                                unit=True, keep=("_c",))
     if path is not None:
         # Repartition by centroid before the partitioned write: without
         # it every input task writes a sliver into every centroid
@@ -408,7 +445,8 @@ def ivf_build(data: DataFrame, n_centroids: int = 64,
         lists = assigned.persist()
         lists.count()
     return IVFIndex(centroids, lists, data_id, path,
-                    vec_col if store_vectors else None)
+                    vec_col if (store_vectors and not quantize)
+                    else None, quantized=quantize)
 
 
 def ivf_probe(queries: DataFrame, index: IVFIndex,
@@ -464,7 +502,27 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
                     for r in qb.select("_c").distinct().collect())
     lists = index.lists.filter(F.col("_c").isin(probed)) \
         .withColumnRenamed(index.data_id, data_id)
-    if index.vec_col is not None:
+    if index.quantized:
+        # quantized lists: the same broadcast topology, but the
+        # corpus-side payload is int8 + one scale (bytes, not FLOPs -
+        # at 10^12 rows the probe scan/shuffle is bandwidth-bound)
+        # and the score is the quantized-dot cosine approximation
+        # (unit-quantized both sides). Rank/tiebreak contract
+        # unchanged; recall vs the exact probe is the int8 rounding,
+        # measured in tests.
+        qq = sq8_quantize(queries, vec_col=vec_col, id_col=query_id,
+                          dim=dim, unit=True) \
+            .select(F.col(query_id), F.col("qvec").alias("_qa"),
+                    F.col("qscale").alias("_sa"))
+        cand = (lists.withColumnRenamed("qvec", "_qb")
+                .withColumnRenamed("qscale", "_sb")
+                .join(F.broadcast(qb), "_c")
+                .join(F.broadcast(qq), query_id)
+                .withColumn("score",
+                            _dot(F.col("_qa"), F.col("_qb"), dim)
+                            * F.col("_sa") * F.col("_sb"))
+                .select(query_id, data_id, "score"))
+    elif index.vec_col is not None:
         # vectors live in the lists: candidates never leave the pruned
         # scan's partitions; the only join is vs the broadcast queries.
         # qb MUST be hinted - its size estimate rides a pandas-UDF
@@ -497,10 +555,11 @@ def ivf_probe(queries: DataFrame, index: IVFIndex,
     # both embeddings through it multiplies the shuffle by the vector
     # payload (measured ~12x row width at dim=16, worse as dim grows).
     # dim comes from the coarse quantizer - the unrolled codegen'd dot.
-    cand = cand.withColumn(
-        "score", _dot(F.col("_qv"), F.col("_dv"), dim)
-        / (F.col("_qn") * F.col("_dn"))) \
-        .select(query_id, data_id, "score")
+    if not index.quantized:
+        cand = cand.withColumn(
+            "score", _dot(F.col("_qv"), F.col("_dv"), dim)
+            / (F.col("_qn") * F.col("_dn"))) \
+            .select(query_id, data_id, "score")
     w = Window.partitionBy(query_id).orderBy(F.col("score").desc(),
                                              F.col(data_id).asc())
     return (cand.withColumn("rank", F.row_number().over(w))
@@ -512,7 +571,8 @@ def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
              n_centroids: int = 64, nprobe: int = 8,
              train_rows: int = 16384, iters: int = 10, seed: int = 3,
              query_id: str = "query_id", data_id: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
+             vec_col: str = "embedding",
+             quantize: bool = False) -> DataFrame:
     """One-shot IVF approximate cosine top-k: ivf_build + ivf_probe.
 
     Convenience wrapper for single-batch use; to amortize the index
@@ -524,7 +584,7 @@ def ivf_topk(queries: DataFrame, data: DataFrame, k: int,
     """
     global _live_ivf_index
     idx = ivf_build(data, n_centroids, train_rows, iters, seed,
-                    data_id, vec_col)
+                    data_id, vec_col, quantize=quantize)
     with _ivf_lock:
         if _live_ivf_index is not None:
             _live_ivf_index.release()

@@ -934,3 +934,56 @@ def test_new_ops_plan_shapes(spark):
     ss = dedup.substring_dedup(docs, window=8)
     assert detail_nodes(ss, "ArrowEvalPython") == 1
     assert detail_nodes(ss, "Exchange") <= 3
+
+
+def test_ivf_quantized_lists(spark, tmp_path):
+    # SQ8 x IVF composition: lists store unit-quantized int8 payloads;
+    # the full probe ranks by the quantized-dot cosine approximation,
+    # bit-matching the numpy reference; quantization barely moves the
+    # full-probe top-k vs the exact index (int8 rounding only).
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(8, 16)) * 3
+    mat = np.vstack([centers[i % 8] + rng.normal(size=16) * 0.3
+                     for i in range(300)])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(mat)],
+        "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 5").selectExpr("vec_id as query_id",
+                                           "embedding")
+    path = str(tmp_path / "ivfq")
+    idx = similarity.ivf_build(df, n_centroids=8, train_rows=300,
+                               path=path, quantize=True)
+    assert "array<tinyint>" in idx.lists.schema.simpleString()
+    full = similarity.ivf_probe(q, idx, k=5, nprobe=8).toPandas()
+    v32 = mat.astype(np.float32).astype(np.float64)
+    n = np.array([np.add.reduce([x * x for x in row])
+                  for row in v32]) ** 0.5
+    m = np.abs(v32).max(1)
+    qv = np.floor(v32 / (m / 127.0)[:, None] + 0.5)
+    sc = (m / 127.0) / n
+    ref = (qv[:5] @ qv.T) * sc[:5, None] * sc[None, :]
+    for r in full.itertuples():
+        assert abs(r.score - ref[r.query_id, r.vec_id]) < 1e-9
+    # the quantized score approximates cosine within the int8 error
+    # bound (~2*sqrt(dim)/254 for unit-quantized sides); rank overlap
+    # vs the exact index is NOT asserted tightly - this clustered
+    # corpus has near-tied cosines inside clusters, exactly where a
+    # 1/254-relative rounding legitimately reorders
+    cos = (v32[:5] @ v32.T) / (n[:5, None] * n[None, :])
+    assert np.abs(ref - cos).max() <= 2 * np.sqrt(16) / 254 + 1e-6
+    exact_idx = similarity.ivf_build(df, n_centroids=8,
+                                     train_rows=300)
+    exact = similarity.ivf_probe(q, exact_idx, k=5,
+                                 nprobe=8).toPandas()
+    es = set(map(tuple, exact[["query_id", "vec_id"]]
+                 .itertuples(index=False)))
+    fs = set(map(tuple, full[["query_id", "vec_id"]]
+                 .itertuples(index=False)))
+    assert len(es & fs) / len(es) >= 0.6
+    # bare-id + quantize is rejected (the payload IS the vector)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.ivf_build(df, n_centroids=8, store_vectors=False,
+                             quantize=True)
+    exact_idx.release()
+    similarity.release_probe_state()
