@@ -252,3 +252,37 @@ def test_corpus_pipeline_clean_step_typo_raises(spark):
     with _pytest.raises(TypeError):
         corpus.build_corpus_pipeline(
             docs, {"clean": {"pattern": []}}).collect()
+
+
+def test_corpus_cli_subcommand(spark, tmp_path, monkeypatch):
+    # the spark-submit entry point for the LLM corpus chain: a JSON
+    # config drives the stage-materialized resumable runner; output
+    # matches the lazy composition on the same config. In-process the
+    # CLI would stop the SHARED fixture session (get_spark is
+    # getOrCreate; under spark-submit it owns the session) - no-op it.
+    import json
+    from pyspark.sql import SparkSession
+    from geeflow_spark import cli
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    cfgd = {"clean": {},
+            "quality": {"min_words": 20,
+                        "stopwords": ["scan", "column", "window",
+                                      "order"]},
+            "chunk": {"max_tokens": 32, "overlap": 4},
+            "shuffle": {"seed": 13, "n_buckets": 16},
+            "pack": {"budget": 64}}
+    cfgp = str(tmp_path / "cfg.json")
+    json.dump(cfgd, open(cfgp, "w"))
+    cli.main(["corpus", "--docs", f"{SF_DIR}/documents.parquet",
+              "--config", cfgp, "--stages", str(tmp_path / "stages"),
+              "--out", str(tmp_path / "out")])
+    # cli stops its session; the fixture session reads the result
+    got = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    cfg2 = {k: (dict(v, stopwords=tuple(v["stopwords"]))
+                if k == "quality" else v) for k, v in cfgd.items()}
+    exp = corpus.build_corpus_pipeline(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        cfg2).toPandas()
+    key = ["doc_id", "chunk_id", "rank"]
+    assert got.sort_values(key).reset_index(drop=True)[exp.columns] \
+        .equals(exp.sort_values(key).reset_index(drop=True))
