@@ -709,7 +709,13 @@ def _q_dedup_spans(spark, sf_dir):
     d = derived.with_spans(spark.read.parquet(
         f"{sf_dir}/documents.parquet"))
     out = dedup.span_dedup(d)
-    ex = out.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+    # posexplode_outer + isNotNull, same rows as posexplode: the plain
+    # generator's inferred size(spans)>0 filter re-evaluated the whole
+    # rebuilt-spans expression per row (guide §4.4's duplicated-
+    # evaluation trap, here on a JVM transform).
+    ex = out.select("doc_id",
+                    F.posexplode_outer("spans").alias("span_idx", "s")) \
+        .filter(F.col("s").isNotNull())
     return ex.select("doc_id",
                      F.col("span_idx").cast("long").alias("span_idx"),
                      F.col("s.kind").alias("kind"),
@@ -860,7 +866,11 @@ def _q_spans_explode(spark, sf_dir):
     # span-sequence invariant surfaced as an oracle-checkable query).
     d = derived.with_spans(spark.read.parquet(
         f"{sf_dir}/documents.parquet"))
-    ex = d.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+    # posexplode_outer + isNotNull (see _q_dedup_spans): avoids the
+    # inferred size(spans)>0 filter re-running the span transform.
+    ex = d.select("doc_id",
+                  F.posexplode_outer("spans").alias("span_idx", "s")) \
+        .filter(F.col("s").isNotNull())
     return ex.select("doc_id",
                      F.col("span_idx").cast("long").alias("span_idx"),
                      F.col("s.kind").alias("kind"),

@@ -354,12 +354,21 @@ def span_dedup(df: DataFrame, spans_col: str = "spans",
     txt = s.getField("text")
     norm = F.lower(F.trim(F.regexp_replace(txt, r"\s+", " "))) \
         if normalize else txt
+    # posexplode_OUTER, not posexplode (r7): the plain generator lets
+    # Catalyst infer `size(spans) > 0` and evaluate the ENTIRE span-
+    # building transform a second time per row as a pushed filter (the
+    # containment_pairs lesson); the kind/text filter below already
+    # drops the null rows outer-explode emits for empty arrays, so the
+    # output is identical. The normalized text is bound ONCE as a
+    # column before the digest projection - each key_fn referenced the
+    # full regexp_replace/lower/trim chain, evaluating it per digest.
     ex = df.select(F.col(id_col),
-                   F.posexplode(spans_col).alias("_pos", "_s"))
+                   F.posexplode_outer(spans_col).alias("_pos", "_s"))
     keyed = (ex.filter((s.getField("kind") == "text")
                        & txt.isNotNull() & (F.length(F.trim(txt)) > 0))
+             .select(id_col, "_pos", norm.alias("_nm"))
              .select(id_col, "_pos",
-                     *[fn(norm).alias(f"_k{i}")
+                     *[fn(F.col("_nm")).alias(f"_k{i}")
                        for i, fn in enumerate(key_fns)]))
     kcols = [f"_k{i}" for i in range(len(key_fns))]
     winners = keyed.groupBy(*kcols).agg(
@@ -371,9 +380,18 @@ def span_dedup(df: DataFrame, spans_col: str = "spans",
                .groupBy(id_col)
                .agg(F.collect_set("_pos").alias("_drop")))
     out = df.join(dropped, id_col, "left")
-    kept = F.when(F.col("_drop").isNull(), F.col(spans_col)).otherwise(
-        F.filter(F.col(spans_col),
-                 lambda sp, i: ~F.array_contains(F.col("_drop"), i)))
+    # Linear rebuild (r6 verdict item 6): surviving indices via ONE
+    # array_except hash-set pass (order-preserving on the first array)
+    # + element_at gather - O(S + |drop|) instead of the per-element
+    # array_contains scan (O(S * |drop|), quadratic when most spans of
+    # a long doc are boilerplate duplicates).
+    kept = F.when(F.col("_drop").isNull() | (F.size(spans_col) == 0),
+                  F.col(spans_col)).otherwise(
+        F.transform(
+            F.array_except(F.sequence(F.lit(0),
+                                      F.size(spans_col) - F.lit(1)),
+                           F.col("_drop")),
+            lambda p: F.element_at(F.col(spans_col), p + F.lit(1))))
     return out.withColumn(spans_col, kept).drop("_drop")
 
 
@@ -924,10 +942,18 @@ def containment_pairs(df: DataFrame, threshold: float = 0.5,
             .select(id_col, F.size("_fp").alias("_n"),
                     F.explode_outer("_fp").alias("_f"))
             .filter(F.col("_f").isNotNull()))
-    wf = Window.partitionBy("_f")
-    post = (base.withColumn("_pn", F.count("*").over(wf))
+    # Posting-list size gate via PARTIAL-AGGREGATED groupBy + semi-join,
+    # not Window.partitionBy("_f") (r6 verdict): the window colocated
+    # every posting of a fingerprint in one task BEFORE the cap could
+    # apply - a single-task straggler on exactly the boilerplate keys
+    # max_postings exists to drop. The count groupBy map-side-combines
+    # to one row per key; the semi-join back is AQE skew-splittable,
+    # and hot keys are gone before the collect_list groupBy builds any
+    # bucket array.
+    live = (base.groupBy("_f").agg(F.count("*").alias("_pn"))
             .filter((F.col("_pn") > 1) & (F.col("_pn") <= max_postings))
-            .drop("_pn"))
+            .select("_f"))
+    post = base.join(live, "_f", "left_semi")
     grouped = (post.groupBy("_f")
                .agg(F.collect_list(
                    F.struct(F.col(id_col).alias("i"),
@@ -991,15 +1017,27 @@ def substring_dedup(df: DataFrame, window: int = 8,
     """
     occ = _window_occurrences(_spread(df, spread), window, text_col,
                               id_col)
-    wf = Window.partitionBy("_f")
-    wfo = Window.partitionBy("_f").orderBy(id_col, "_p")
-    ranked = occ.select(
-        id_col, "_n", "_p",
-        F.count("*").over(wf).alias("_cnt"),
-        F.row_number().over(wfo).alias("_rn"))
-    removed = ranked.filter(
-        (F.col("_cnt") >= min_count)
-        & (F.col("_rn") >= (2 if keep_first else 1)))
+    # Corpus-wide count + keep-first winner via PARTIAL-AGGREGATED
+    # groupBy, not Window.partitionBy("_f") (r6 verdict): a window
+    # colocates every occurrence of a fingerprint in one task with no
+    # map-side combine, so at web scale the top boilerplate windows
+    # ("all rights reserved ...", occurring billions of times) straggle
+    # or OOM the count stage - exactly the keys this operator exists to
+    # cut. groupBy's partial aggregation folds each map task's
+    # occurrences to one (count, min) row per key before the shuffle,
+    # and the join back on _f is AQE skew-join-splittable. Semantics
+    # identical: min(struct(id, pos)) is the row row_number()=1 picked
+    # under orderBy(id, pos).
+    dup = (occ.groupBy("_f")
+           .agg(F.count("*").alias("_cnt"),
+                F.min(F.struct(F.col(id_col).alias("i"),
+                               F.col("_p").alias("p"))).alias("_w"))
+           .filter(F.col("_cnt") >= min_count)
+           .select("_f", "_w"))
+    removed = occ.join(dup, "_f")
+    if keep_first:
+        removed = removed.filter((F.col(id_col) != F.col("_w.i"))
+                                 | (F.col("_p") != F.col("_w.p")))
     cov = _covered_positions(removed, window, id_col)
     return _cut_token_positions(df, cov, text_col, id_col, metrics)
 
@@ -1052,15 +1090,33 @@ def _cut_token_positions(df: DataFrame, cov: DataFrame, text_col: str,
                     lambda t: t != "")
     rm = F.coalesce(F.col("_rm"),
                     F.expr("CAST(array() AS array<int>)"))
-    kept = F.filter(toks, lambda t, i: ~F.array_contains(rm, i))
-    out = out.withColumn("_ss_nt", F.size(toks))
+    # Bind the token array ONCE as a real column (multi-use non-cheap
+    # alias, so CollapseProject cannot inline the split back into the
+    # per-element lambdas), then rebuild in LINEAR time: surviving
+    # positions = array_except(all positions, removed) - O(T + |rm|)
+    # hash-set pass - instead of the r6 per-element array_contains scan
+    # (O(T * |rm|), quadratic on heavily-duplicated long docs - r6
+    # verdict item 6). array_except preserves first-array order, so
+    # the surviving positions stay ascending and the rebuilt text is
+    # byte-identical.
+    out = (out.withColumn("_tk", toks)
+           .withColumn("_kp",
+                       F.when(F.size("_tk") > 0,
+                              F.array_except(
+                                  F.sequence(F.lit(0),
+                                             F.size("_tk") - F.lit(1)),
+                                  rm))
+                       .otherwise(F.expr("CAST(array() AS array<int>)"))))
+    kept = F.transform(F.col("_kp"),
+                       lambda p: F.element_at(F.col("_tk"), p + F.lit(1)))
+    out = out.withColumn("_ss_nt", F.size("_tk"))
     if metrics:
         out = (out.withColumn("ss_n_tokens",
                               F.col("_ss_nt").cast("long"))
                .withColumn("ss_n_removed",
                            F.size(rm).cast("long")))
     return (out.withColumn(text_col, F.array_join(kept, " "))
-            .drop("_rm", "_ss_nt"))
+            .drop("_rm", "_ss_nt", "_tk", "_kp"))
 
 
 # decontaminate's contaminated-id frames are eagerly localCheckpointed

@@ -40,9 +40,18 @@ _ivf_lock = threading.Lock()
 # small queries, so unrolling is gated to dims where compilation is
 # trivial (covers the dim-16 scale corpora, where the unrolled dot
 # measured >10x faster over 31M candidates: 29s of interpreted
-# higher-order lambdas down to ~2s). Above the gate the interpreted
-# form runs, made ~3x cheaper than the naive per-pair cosine by
-# computing norms once per side pre-join (see brute_force_topk).
+# higher-order lambdas down to ~2s). r7 re-measured the gate on the
+# dim-64 battery corpus: raising it to cover 64 made every sim query
+# SLOWER (sim_cosine_topk 1.9 -> 5.3 s at sf1.0) - the 64-term trees
+# (x null/bounds checks, x the surrounding stage's expressions) grow
+# generated methods past janino's hard 64 KB method limit, wasting a
+# ~1 s compile attempt per fresh plan and then running interpreted
+# anyway. 32 is the measured sweet spot: below it codegen wins,
+# above it compile cost/failure dominates. Above the gate the
+# interpreted form runs, made ~3x cheaper than the naive per-pair
+# cosine by computing norms once per side pre-join (brute_force_topk)
+# and keeping per-row O(dim) work out of per-element lambdas
+# (sq8_quantize's staged aliases).
 _DOT_UNROLL_MAX_DIM = 32
 _NORM_UNROLL_MAX_DIM = 32
 
@@ -179,19 +188,30 @@ def sq8_quantize(df: DataFrame, vec_col: str = "embedding",
     else:
         m = F.array_max(F.transform(v, lambda x:
                                     F.abs(x.cast("double"))))
-    sc = F.when(m == 0.0, F.lit(1.0)).otherwise(m / F.lit(127.0))
+    # Stage 1 binds the vector, the abs-max (and the norm in unit
+    # mode) as REAL columns first: _m feeds both scales below with
+    # multiple references, which is exactly the multi-use non-cheap
+    # pattern CollapseProject refuses to inline - without this staging
+    # the optimizer folded the whole array_max(transform(abs(...)))
+    # into the per-element quantization lambda and every element
+    # recomputed the max: O(dim^2) interpreted ops per vector,
+    # measured as the bulk of sim_sq8_topk's 8+ s sf1.0 wall (r7).
+    stage = df.select(F.col(id_col), *[F.col(c) for c in keep],
+                      v.alias("_v"), m.alias("_m"),
+                      *([_norm(v, dim).alias("_nn")] if unit else []))
+    mm = F.col("_m")
+    esc = F.when(mm == 0.0, F.lit(1.0)).otherwise(mm / F.lit(127.0))
     if unit:
-        n = _norm(v, dim)
-        sc = F.when(n == 0.0, F.lit(1.0)).otherwise(sc / n)
-    # scale must be a per-row column BEFORE the element math so the
-    # unrolled form does not recompute the max per element. The
-    # ELEMENT scale is the raw abs-max/127 even in unit mode (the
-    # norm cancels inside q_i) - carried separately from the output
-    # qscale so the floor math never re-derives it.
-    esc = F.when(m == 0.0, F.lit(1.0)).otherwise(m / F.lit(127.0))
-    out = df.select(F.col(id_col), *[F.col(c) for c in keep],
-                    v.alias("_v"), sc.alias("qscale"),
-                    esc.alias("_esc"))
+        nn = F.col("_nn")
+        sc = F.when(nn == 0.0, F.lit(1.0)).otherwise(esc / nn)
+    else:
+        sc = esc
+    # The ELEMENT scale stays the raw abs-max/127 even in unit mode
+    # (the norm cancels inside q_i) - carried separately from the
+    # output qscale so the floor math never re-derives it.
+    out = stage.select(F.col(id_col), *[F.col(c) for c in keep],
+                       F.col("_v"), sc.alias("qscale"),
+                       esc.alias("_esc"))
     s = F.col("_esc")
     if dim and dim <= _NORM_UNROLL_MAX_DIM:
         qv = F.array(*[F.floor(F.col("_v")[i].cast("double") / s

@@ -34,7 +34,7 @@ not the word.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -65,12 +65,17 @@ def repetition_metrics(df: DataFrame, text_col: str = "text",
         F.expr("transform(sequence(1, size(_w) - 1), "
                "i -> concat(_w[i-1], ' ', _w[i]))")
     ).otherwise(F.array().cast("array<string>"))
+    # Bind the bigram array once (r7): it feeds two consumers (size +
+    # array_distinct), and without the alias each evaluated the whole
+    # interpreted transform independently per row.
     shape = base.select(
+        id_col, "_w", bigrams.alias("_bg")
+    ).select(
         id_col,
         F.size("_w").alias("_n"),
         F.size(F.array_distinct("_w")).alias("_nd"),
-        F.size(bigrams).alias("_nb"),
-        F.size(F.array_distinct(bigrams)).alias("_nbd"))
+        F.size("_bg").alias("_nb"),
+        F.size(F.array_distinct("_bg")).alias("_nbd"))
     top = (base.select(id_col, F.explode("_w").alias("_word"))
            .groupBy(id_col, "_word").agg(F.count("*").alias("_c"))
            .groupBy(id_col).agg(F.max("_c").alias("_top")))
@@ -92,14 +97,35 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
 
 
 def _gopher_cols(text_col: str, min_words: int,
-                 max_words: int, stopwords=None) -> dict:
+                 max_words: int, stopwords=None,
+                 t: Column | None = None,
+                 words: Column | None = None,
+                 lines: Column | None = None) -> dict:
     """The rule Columns, keyed by output name (shared by the
-    flags-frame operator and the row-local gopher_pass predicate)."""
-    t = F.trim(F.col(text_col))
-    words = F.split(F.lower(t), r"\s+")
+    flags-frame operator and the row-local gopher_pass predicate).
+
+    `t`/`words`/`lines` let gopher_quality_flags pass PRE-BOUND
+    columns (a lower select that aliases trim/split/lines once): the
+    rule expressions reference those arrays many times, and without
+    binding, each reference re-evaluates the full split per row (the
+    expressions ride in interpreted fallback, which has no common-
+    subexpression elimination). r7 also replaced the two interpreted
+    per-element lambdas with single-pass JVM regexes with identical
+    integer results: total word chars = len(trimmed) minus whitespace
+    chars (one regexp_replace), and the alphabetic-word count = the
+    number of non-space runs containing a letter (one regexp_count;
+    each \\S-run with a letter yields exactly one non-overlapping
+    match, letterless runs yield none)."""
+    if t is None:
+        t = F.trim(F.col(text_col))
+    if words is None:
+        words = F.split(F.lower(t), r"\s+")
+    if lines is None:
+        lines = F.filter(F.transform(F.split(t, r"\n"),
+                                     lambda x: F.trim(x)),
+                         lambda x: F.length(x) > 0)
     nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
-    total_chars = F.aggregate(words, F.lit(0),
-                              lambda a, w: a + F.length(w))
+    total_chars = F.length(F.regexp_replace(t, r"\s", ""))
     mwl = F.when(nw > 0, total_chars.cast("double") / nw) \
         .otherwise(F.lit(0.0))
     hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
@@ -107,14 +133,11 @@ def _gopher_cols(text_col: str, min_words: int,
                 - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
     sym_ratio = F.when(nw > 0, (hashes + ellipses).cast("double") / nw) \
         .otherwise(F.lit(0.0))
-    lines = F.filter(F.transform(F.split(t, r"\n"),
-                                 lambda x: F.trim(x)),
-                     lambda x: F.length(x) > 0)
     nl = F.size(lines)
     bullet = F.size(F.filter(
         lines, lambda x: x.startswith("-") | x.startswith("*")))
     ell_end = F.size(F.filter(lines, lambda x: x.endswith("...")))
-    alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha = F.regexp_count(F.lower(t), F.lit(r"[^\s]*[a-z][^\s]*"))
     sw = F.array(*[F.lit(w) for w in (stopwords or GOPHER_STOPWORDS)])
     sw_hits = F.size(F.array_intersect(F.array_distinct(words), sw))
     wc_ok = (nw >= min_words) & (nw <= max_words)
@@ -167,9 +190,24 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     whitespace-only docs fail wc_ok (and pass the line rules
     vacuously: zero lines).
     """
-    cols = _gopher_cols(text_col, min_words, max_words, stopwords)
-    return df.select(id_col,
-                     *[c.alias(name) for name, c in cols.items()])
+    # Bind trim/split/lines ONCE as real columns in lower selects:
+    # each is referenced by several rule expressions, all multi-use
+    # non-cheap aliases, so CollapseProject keeps the projections
+    # separate and every rule reads the bound array instead of
+    # re-splitting the text (measured 7.3 s -> well under half at
+    # sf1.0 for the 50k-doc flags frame).
+    base = df.select(id_col, F.trim(F.col(text_col)).alias("_t"))
+    base = base.select(
+        id_col, "_t",
+        F.split(F.lower(F.col("_t")), r"\s+").alias("_w"),
+        F.filter(F.transform(F.split(F.col("_t"), r"\n"),
+                             lambda x: F.trim(x)),
+                 lambda x: F.length(x) > 0).alias("_ln"))
+    cols = _gopher_cols(text_col, min_words, max_words, stopwords,
+                        t=F.col("_t"), words=F.col("_w"),
+                        lines=F.col("_ln"))
+    return base.select(id_col,
+                       *[c.alias(name) for name, c in cols.items()])
 
 
 # Conservative ASCII patterns, valid and identical under BOTH regex
@@ -233,11 +271,6 @@ def c4_line_clean(df: DataFrame, text_col: str = "text",
     one codegen span; every count is an integer, so the flags replay
     bit-identically in SQL.
     """
-    t = F.trim(F.col(text_col))
-    lines = F.filter(F.transform(F.split(t, r"\n"),
-                                 lambda x: F.trim(x)),
-                     lambda x: F.length(x) > 0)
-
     def _ok(x):
         cond = (F.size(F.split(x, r"\s+")) >= min_line_words) & \
             (~F.lower(x).contains("javascript"))
@@ -245,14 +278,24 @@ def c4_line_clean(df: DataFrame, text_col: str = "text",
             cond = cond & x.rlike('[.!?"]$')
         return cond
 
-    kept = F.filter(lines, _ok)
-    nk = F.size(kept)
+    # Bind trimmed text, lines and kept lines once each (r7): kept
+    # feeds three consumers (join + two sizes) and lines two; without
+    # the aliases every consumer re-ran the interpreted split/filter
+    # chain per row.
+    base = (df.select(id_col, F.trim(F.col(text_col)).alias("_t"))
+            .select(id_col, "_t",
+                    F.filter(F.transform(F.split(F.col("_t"), r"\n"),
+                                         lambda x: F.trim(x)),
+                             lambda x: F.length(x) > 0).alias("_ln"))
+            .select(id_col, "_t", "_ln",
+                    F.filter(F.col("_ln"), _ok).alias("_kp")))
+    nk = F.size("_kp")
     page_ok = (nk >= min_lines) \
-        & (~F.lower(t).contains("lorem ipsum")) \
-        & (~t.contains("{")) & (~t.contains("}"))
-    return df.select(
+        & (~F.lower(F.col("_t")).contains("lorem ipsum")) \
+        & (~F.col("_t").contains("{")) & (~F.col("_t").contains("}"))
+    return base.select(
         id_col,
-        F.array_join(kept, "\n").alias("clean_text"),
+        F.array_join(F.col("_kp"), "\n").alias("clean_text"),
         nk.cast("long").alias("n_lines_kept"),
-        (F.size(lines) - nk).cast("long").alias("n_lines_dropped"),
+        (F.size("_ln") - nk).cast("long").alias("n_lines_dropped"),
         page_ok.alias("c4_keep"))
