@@ -74,7 +74,26 @@ def _convex_regions_pdf() -> pd.DataFrame:
                          {"region_id": PENT[0], "ring": PENT[1]}])
 
 
+def _widen(df):
+    """Widens an under-partitioned input before CPU-heavy row-local
+    stages (r7). The test parquet tables are single files with ONE row
+    group, so however many byte-range splits the scan planner makes,
+    only one task reads rows and every scan-rooted stage runs on one
+    core of local[N]. dedup._spread only ever INCREASES parallelism -
+    a no-op on any real at-scale table (>= defaultParallelism
+    partitions), the same contract the dedup battery queries have used
+    since r5 ("spread: the testdata table is ONE parquet file").
+    """
+    return dedup._spread(
+        df, df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: the geo kernels batch whole partitions through
+    # numpy (mapInArrow/pandas UDFs) and are fast on the single-row-
+    # group test file; measured with _widen the extra round-robin
+    # shuffle cost more than the added parallelism bought
+    # (geo_cell_counts 0.55 -> 1.06 s at sf1.0).
     return derived.with_geo(
         spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -299,7 +318,7 @@ def _q_rel_part_brand(spark, sf_dir):
 
 
 def _q_text_token_counts(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return d.select("doc_id",
                     T.token_count(F.col("text")).cast("long")
                     .alias("n_tokens"),
@@ -307,7 +326,7 @@ def _q_text_token_counts(spark, sf_dir):
 
 
 def _q_text_quality(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return d.select(
         "doc_id",
         F.round(T.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
@@ -315,7 +334,7 @@ def _q_text_quality(spark, sf_dir):
 
 
 def _q_text_lang_id(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return (d.select(T.lang_id(F.col("text")).alias("lang_guess"))
             .groupBy("lang_guess").agg(F.count("*").alias("n")))
 
@@ -325,12 +344,12 @@ def _q_text_repetition(spark, sf_dir):
     # distinct-word fraction, most-frequent-word share, duplicate-
     # bigram fraction - all integer-count ratios, so bit-stable across
     # partitionings and exactly replayable in SQL.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return text_metrics.repetition_metrics(d)
 
 
 def _q_dedup_exact(spark, sf_dir):
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return dedup.exact_dedup(d, "text", "doc_id").select("doc_id")
 
 
@@ -454,7 +473,7 @@ def _q_corpus_chunks(spark, sf_dir):
     # row-local JVM explode/slice, no UDF, no shuffle; the token array
     # is split once per doc (explode-then-slice shape - the bound
     # column, not a re-evaluated split expression).
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return chunking.chunk_documents(d, max_tokens=40, overlap=8)
 
 
@@ -475,7 +494,7 @@ def _q_corpus_pack(spark, sf_dir):
     # budget. Small bucket knobs (64 rank buckets, 256-row pack
     # buckets) so the multi-bucket offset paths are exercised at gate
     # scale, not just the single-bucket degenerate.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     ch = chunking.chunk_documents(d, max_tokens=40, overlap=8)
     keyed = ch.withColumn(
         "_k", F.concat_ws("#", F.col("doc_id").cast("string"),
@@ -521,7 +540,7 @@ def _q_corpus_e2e(spark, sf_dir):
     # replayed end-to-end by a single DuckDB oracle (md5 family
     # throughout). The strongest composition check in the battery:
     # any drift in any stage breaks the hash.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     out = corpus.build_corpus_pipeline(d, _E2E_CFG, hash_family="md5")
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "chunk_id", "rank", "prefix_tokens", "pack_id",
@@ -532,7 +551,7 @@ def _q_text_gopher(spark, sf_dir):
     # The published Gopher web-filter rule set, one boolean per rule
     # plus the conjunction - row-local integer-count ratios, so every
     # threshold comparison replays bit-identically in SQL.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return text_metrics.gopher_quality_flags(d)
 
 
@@ -543,7 +562,7 @@ def _q_text_c4_clean(spark, sf_dir):
     # occurrences become sentence boundaries ('.' + newline), giving
     # real variation - punctuated/unpunctuated tails, short lines.
     # The oracle replays the derivation AND the rules.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     lined = d.select("doc_id",
                      F.replace(F.col("text"), F.lit(" spark "),
                                F.lit(".\n")).alias("text"))
@@ -578,7 +597,7 @@ def _q_text_pii_redact(spark, sf_dir):
     # PII masking over the deterministically PII-augmented corpus;
     # the oracle replays the augmentation AND the sequential
     # count+replace chain with the same RE2/Java-compatible patterns.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     aug = _pii_augment(d).drop("lang")
     out = text_metrics.pii_redact(aug)
     return out.select("doc_id", "pii_email", "pii_ipv4", "pii_phone",
@@ -605,7 +624,7 @@ def _q_corpus_e2e_clean(spark, sf_dir):
     # requires it anyway), which removes the re-derivation; the
     # composed-lazy form here exists to put the WHOLE chain under one
     # oracle hash.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     out = corpus.build_corpus_pipeline(_pii_augment(d), _E2E_CLEAN_CFG,
                                        hash_family="md5")
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
@@ -638,7 +657,7 @@ def _q_corpus_decontaminate(spark, sf_dir):
     # leak this catches). Counted broadcast gate on the benchmark
     # fingerprint set; oracle recomputes the window-string overlap
     # from scratch.
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     train = d.filter(F.col("doc_id") % 10 != 0)
     bench = d.filter(F.col("doc_id") % 10 == 0)
     out = dedup.decontaminate(train, bench, window=8)
@@ -654,7 +673,7 @@ def _q_dedup_survivors_quality(spark, sf_dir):
     # scratch. At sf0.01 20 of the 24 dropped ids differ from the
     # min-id rule, so this row pins the argmax semantics, not a
     # relabeling of dedup_survivors.
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = (_widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
          .withColumn("_len", F.length("text")))
     pairs = dedup.minhash_duplicate_pairs(
         d, num_perm=64, bands=16, verify_jaccard=0.6,
@@ -706,8 +725,8 @@ def _q_dedup_spans(spark, sf_dir):
     # ranking recomputed by window over the normalized text itself
     # (the operator groups by dual digest of the same key - identical
     # up to engineered 128-bit collisions, exact_dedup's argument).
-    d = derived.with_spans(spark.read.parquet(
-        f"{sf_dir}/documents.parquet"))
+    d = derived.with_spans(_widen(spark.read.parquet(
+        f"{sf_dir}/documents.parquet")))
     out = dedup.span_dedup(d)
     # posexplode_outer + isNotNull, same rows as posexplode: the plain
     # generator's inferred size(spans)>0 filter re-evaluated the whole
@@ -727,7 +746,7 @@ def _q_dedup_spans(spark, sf_dir):
 def _q_dedup_embedding(spark, sf_dir):
     # Embedding-cosine near-dup pairs (brute-force exact at gate scale;
     # similarity.lsh_topk is the scale path for the same predicate).
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     ed = e.select("vec_id", F.transform(F.col("embedding"),
                                         lambda x: x.cast("double"))
                   .alias("embedding"))
@@ -746,7 +765,7 @@ def _q_sim_cosine_topk(spark, sf_dir):
     # RAW float column in, per-element double cast inside the unrolled
     # codegen'd dot (same values as a transform-cast wrapper, which
     # ProjectCollapse would otherwise inline dim times per row).
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     ed = e.select("vec_id", "embedding")
     q = ed.filter(F.col("vec_id") < 10) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -762,7 +781,7 @@ def _q_sim_sq8_topk(spark, sf_dir):
     # scan/shuffle/inverted-list file); the score stays exact integer
     # math, so the oracle recomputes quantization + dot + scales from
     # the raw floats and the qscore VALUES hash-match, not just ranks.
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+    e = _widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet")) \
         .select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") < 10) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -778,7 +797,7 @@ def _q_sim_ivf_topk(spark, sf_dir):
     # (nprobe = n_centroids) makes the output EXACT top-k, so the
     # DuckDB cosine oracle checks the whole path row-for-row; the
     # pruning recall is pytest-covered (test_ivf_partial_probe_recall).
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     ed = e.select("vec_id", "embedding")  # raw column; see sim_cosine_topk
     q = ed.filter(F.col("vec_id") < 8) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -796,7 +815,7 @@ def _q_sim_ivf_sq8(spark, sf_dir):
     # oracle recomputes normalization, quantization, integer dot and
     # both scales from the raw floats; score VALUES hash-match at 6dp
     # (sequential-fold norm order pinned on both engines).
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     ed = e.select("vec_id", "embedding")
     q = ed.filter(F.col("vec_id") < 8) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -817,7 +836,7 @@ def _q_sim_lsh_topk(spark, sf_dir):
     # bucket-PRUNING recall is covered by
     # tests/test_pipeline_misc.py::test_lsh_topk_high_recall and the
     # sized-bucket 1M/10M recall@10=1.0 measurements in BENCH/SF1.md.
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     ed = e.select("vec_id", "embedding")
     q = ed.filter(F.col("vec_id") < 10) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -842,7 +861,7 @@ def _q_sim_lsh_pruned(spark, sf_dir):
     # the CORRECTNESS row covers exactly the pruning configuration
     # production runs, approximation and all (top-k WITHIN the
     # candidate set, not the global top-k).
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     ed = e.select("vec_id", "embedding")
     q = ed.filter(F.col("vec_id") < 10) \
         .select(F.col("vec_id").alias("query_id"), "embedding")
@@ -854,7 +873,7 @@ def _q_sim_lsh_pruned(spark, sf_dir):
 
 
 def _q_sim_norms(spark, sf_dir):
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = _widen(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     norm = F.sqrt(F.aggregate(
         F.transform(F.col("embedding"), lambda x: x.cast("double")),
         F.lit(0.0), lambda a, x: a + x * x))
@@ -864,8 +883,8 @@ def _q_sim_norms(spark, sf_dir):
 def _q_spans_explode(spark, sf_dir):
     # Interleaved span derivation + order-preserving explode (the
     # span-sequence invariant surfaced as an oracle-checkable query).
-    d = derived.with_spans(spark.read.parquet(
-        f"{sf_dir}/documents.parquet"))
+    d = derived.with_spans(_widen(spark.read.parquet(
+        f"{sf_dir}/documents.parquet")))
     # posexplode_outer + isNotNull (see _q_dedup_spans): avoids the
     # inferred size(spans)>0 filter re-running the span transform.
     ex = d.select("doc_id",

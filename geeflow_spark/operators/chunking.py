@@ -83,24 +83,21 @@ def pack_sequences(df: DataFrame, budget: int, order_col: str,
     n_rows / bucket_size aggregated rows, broadcast back (the
     shuffle_rank recipe applied to a SUM instead of a COUNT).
 
-    Composition note (r7): the offsets aggregate reads the SAME
-    up-front hash exchange as the prefix-sum window (ReusedExchange),
-    so chaining unmaterialized stages (chunk -> shuffle_rank -> pack)
-    no longer re-derives the upstream pipeline per aggregate; staged
-    parquet (plans/corpus checkpointed form) remains the production
-    resume story.
+    Composition note: the offsets aggregate is a SECOND evaluation of
+    the input plan (a 1-column scan when the input is a table). When
+    chaining unmaterialized stages (chunk -> shuffle_rank -> pack),
+    each stage's aggregate re-derives the whole upstream pipeline -
+    persist or checkpoint the input frame between stages (the staged
+    parquet write production pipelines do anyway) to keep it one scan
+    per stage.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     from geeflow_spark.operators.sampling import bucket_offsets
     d = df.withColumn("_b", F.expr(f"{order_col} div {bucket_size}"))
-    # ONE payload exchange, shared (r7, the shuffle_rank recipe): the
-    # prefix-sum window was already going to exchange full rows on _b;
-    # hash-partitioning up front lets the per-bucket totals aggregate
-    # reuse that exchange instead of re-deriving the entire upstream
-    # plan (inside corpus_e2e the totals branch re-ran the whole
-    # sample->...->shuffle chain a second time).
-    d = d.repartition(F.col("_b"))
+    # NOTE (r7): see sampling.shuffle_rank - the shared-exchange
+    # variant was measured and rejected (AQE serializes the broadcast
+    # totals stage behind the payload exchange).
     totals = d.groupBy("_b").agg(F.sum(tokens_col).alias("_t"))
     offsets = bucket_offsets(totals, "_b", "_t")
     lw = (Window.partitionBy("_b").orderBy(order_col)

@@ -52,12 +52,29 @@ _cache_lock = threading.Lock()
 
 def release_candidate_caches() -> None:
     """Unpersists candidate-pair caches from prior
-    minhash_duplicate_pairs calls. Called automatically at the start of
-    each new call; callers that keep many results live concurrently can
-    instead call this explicitly when done with ALL of them."""
+    minhash_duplicate_pairs calls AND the occurrence caches of prior
+    substring_dedup / containment_pairs calls. Called automatically at
+    the start of each new call; callers that keep many results live
+    concurrently can instead call this explicitly when done with ALL
+    of them. Releases here are recompute-safe: a released result stays
+    correct, it just recomputes per action."""
     with _cache_lock:
         while _live_candidate_caches:
             _live_candidate_caches.pop().unpersist(blocking=False)
+        while _live_occurrence_caches:
+            _live_occurrence_caches.pop().unpersist(blocking=False)
+
+
+# NOTE (r7): persisting the occurrence/posting frames of
+# substring_dedup / containment_pairs (so the count aggregation and
+# the join-back probe share one fingerprint pass) was measured and
+# REJECTED: the columnar cache encode of the exploded 24-byte rows
+# cost more than the saved Arrow pass in back-to-back A/B at sf1.0,
+# and at 10^12 docs materializing the occurrence table trades a pure
+# CPU re-pass for corpus-token-count x 24 bytes of storage traffic.
+# Both consumers re-derive the occurrence pipeline; the skew-safe
+# partial-aggregated count + AQE-splittable join-back stands.
+_live_occurrence_caches: list = []
 
 
 def _token_shingles(text: str, k: int) -> set:
@@ -515,10 +532,16 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
     cand_ids = (pairs.select(F.col("a").alias(id_col))
                 .union(pairs.select(F.col("b").alias(id_col)))
                 .distinct())
+    # sh is consumed twice (the a-side and b-side joins); persist it
+    # under the same bounded-cache contract so the semi-join + shingle
+    # UDF subtree runs once per action instead of twice (r7). The
+    # frame is candidate-docs-sized - tiny at any real threshold.
     sh = (df.join(cand_ids, id_col, "left_semi")
           .select(F.col(id_col),
                   shingle_hashes_col(F.col(text_col), shingle_k)
-                  .alias("_sh")))
+                  .alias("_sh"))).persist()
+    with _cache_lock:
+        _live_candidate_caches.append(sh)
     pairs = (pairs
              .join(sh.withColumnRenamed(id_col, "a")
                    .withColumnRenamed("_sh", "_sha"), "a")
@@ -646,12 +669,18 @@ def _connected_components_locked(pairs: DataFrame, a_col: str,
     base_ids = _persistent_rdd_ids(sc)
     edges = pairs.select(F.col(a_col).alias("_s"),
                          F.col(b_col).alias("_d"))
+    # eager=False (r7): both init frames register their blocks
+    # immediately (the RDD-id diffs below see them) but materialize
+    # inside round 1's single job instead of costing two extra
+    # driver-synchronous jobs up front - the CC loop's one-action-per-
+    # round discipline applied to its own initialization.
     sym = edges.union(pairs.select(F.col(b_col).alias("_s"),
                                    F.col(a_col).alias("_d"))) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     sym_ids = _persistent_rdd_ids(sc) - base_ids
     labels = (sym.select(F.col("_s").alias("_n")).distinct()
-              .withColumn("_l", F.col("_n")).localCheckpoint())
+              .withColumn("_l", F.col("_n"))
+              .localCheckpoint(eager=False))
     live_ids = _persistent_rdd_ids(sc) - base_ids - sym_ids
     rounds = 0
     try:

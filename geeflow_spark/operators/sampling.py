@@ -174,17 +174,14 @@ def shuffle_rank(df: DataFrame, key_col: str = "doc_id", seed: int = 0,
     draw = _draw_u63(F.col(key_col), seed, hash_family)
     d = df.withColumn("_d", draw) \
           .withColumn("_b", F.expr(f"_d div {width}"))
-    # ONE payload exchange, shared (r7): hash-partition by bucket up
-    # front - the ranking window's sort then needs no exchange of its
-    # own, and the per-bucket counts aggregate READS THE SAME exchange
-    # (ReusedExchange) instead of re-deriving the whole upstream plan.
-    # Before this, the counts branch was a second full evaluation of
-    # the input - for a bare table a second scan, but inside a lazy
-    # pipeline (corpus_e2e) a complete re-derivation of every upstream
-    # stage (guide §2.4: two operations keyed the same way share one
-    # exchange). Payload bytes shuffled are unchanged: the window
-    # already exchanged full rows on _b.
-    d = d.repartition(F.col("_b"))
+    # NOTE (r7): a repartition("_b")-shared-exchange variant (counts
+    # aggregate reading the ranking window's exchange via
+    # ReusedExchange instead of re-deriving the input) was measured
+    # and REJECTED: under AQE the broadcast offsets stage serializes
+    # behind the exchange materialization and every measured
+    # composition (standalone, corpus_e2e, corpus_e2e_clean) was
+    # slower than this two-evaluation form, whose counts branch is a
+    # narrow column-pruned pass.
     counts = d.groupBy("_b").agg(F.count("*").alias("_c"))
     offsets = bucket_offsets(counts, "_b", "_c")
     lw = Window.partitionBy("_b").orderBy("_d", key_col)

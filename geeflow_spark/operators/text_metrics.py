@@ -97,34 +97,35 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
 
 
 def _gopher_cols(text_col: str, min_words: int,
-                 max_words: int, stopwords=None,
-                 t: Column | None = None,
-                 words: Column | None = None,
-                 lines: Column | None = None) -> dict:
+                 max_words: int, stopwords=None) -> dict:
     """The rule Columns, keyed by output name (shared by the
-    flags-frame operator and the row-local gopher_pass predicate).
-
-    `t`/`words`/`lines` let gopher_quality_flags pass PRE-BOUND
-    columns (a lower select that aliases trim/split/lines once): the
-    rule expressions reference those arrays many times, and without
-    binding, each reference re-evaluates the full split per row (the
-    expressions ride in interpreted fallback, which has no common-
-    subexpression elimination). r7 also replaced the two interpreted
-    per-element lambdas with single-pass JVM regexes with identical
-    integer results: total word chars = len(trimmed) minus whitespace
-    chars (one regexp_replace), and the alphabetic-word count = the
-    number of non-space runs containing a letter (one regexp_count;
-    each \\S-run with a letter yields exactly one non-overlapping
-    match, letterless runs yield none)."""
-    if t is None:
-        t = F.trim(F.col(text_col))
-    if words is None:
-        words = F.split(F.lower(t), r"\s+")
-    if lines is None:
-        lines = F.filter(F.transform(F.split(t, r"\n"),
-                                     lambda x: F.trim(x)),
-                         lambda x: F.length(x) > 0)
-    nw = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(words))
+    flags-frame operator and the row-local gopher_pass predicate)."""
+    import re as _re
+    t = F.trim(F.col(text_col))
+    # r7: every rule is a single-pass scalar regex/replace expression -
+    # no array columns, no interpreted higher-order lambdas. The old
+    # array forms cost ~7.8 s at sf1.0 as the corpus 'quality' FILTER
+    # because predicate pushdown inlines aliases into the condition
+    # (bound columns cannot help a filter), and each rule's reference
+    # to the words array re-ran the split. Exact equivalences:
+    #   - split(t, \s+) yields (#separator matches + 1) fields
+    #     (limit -1 keeps leading/trailing empties), so
+    #     nw == regexp_count(t, \s+) + 1 for nonempty t - including
+    #     the phantom empty field when t starts with a non-space
+    #     whitespace char (trim strips spaces only).
+    #   - total word chars == len(t) - #whitespace chars.
+    #   - a field containing [a-z] is a \S-run containing [a-z]: one
+    #     non-overlapping match of [^\s]*[a-z][^\s]* per such run.
+    #   - line rules ((?dm): ^/$ anchor on \n exactly, the same
+    #     boundaries split(t, \n) produces): a kept line has a
+    #     non-space char; a bullet line's first non-space char is
+    #     - or *; an ellipsis line ends ... + optional spaces
+    #     (trim strips spaces only, so \t stays - the patterns
+    #     replicate that).
+    #   - stopword_ok needs the DISTINCT-presence count: one bounded-
+    #     token presence test per stopword ((^|\s)w(\s|$)).
+    nw = F.when(F.length(t) == 0, F.lit(0)) \
+        .otherwise(F.regexp_count(t, F.lit(r"\s+")) + 1)
     total_chars = F.length(F.regexp_replace(t, r"\s", ""))
     mwl = F.when(nw > 0, total_chars.cast("double") / nw) \
         .otherwise(F.lit(0.0))
@@ -133,13 +134,15 @@ def _gopher_cols(text_col: str, min_words: int,
                 - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
     sym_ratio = F.when(nw > 0, (hashes + ellipses).cast("double") / nw) \
         .otherwise(F.lit(0.0))
-    nl = F.size(lines)
-    bullet = F.size(F.filter(
-        lines, lambda x: x.startswith("-") | x.startswith("*")))
-    ell_end = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    nl = F.regexp_count(t, F.lit(r"(?dm)^[^\n]*?[^ \n]"))
+    bullet = F.regexp_count(t, F.lit(r"(?dm)^ *[-*]"))
+    ell_end = F.regexp_count(t, F.lit(r"(?dm)\.\.\. *$"))
     alpha = F.regexp_count(F.lower(t), F.lit(r"[^\s]*[a-z][^\s]*"))
-    sw = F.array(*[F.lit(w) for w in (stopwords or GOPHER_STOPWORDS)])
-    sw_hits = F.size(F.array_intersect(F.array_distinct(words), sw))
+    sw_hits_terms = [
+        F.when(F.lower(t).rlike(
+            f"(^|\\s){_re.escape(w)}(\\s|$)"), 1).otherwise(0)
+        for w in (stopwords or GOPHER_STOPWORDS)]
+    sw_hits = sum(sw_hits_terms[1:], sw_hits_terms[0])
     wc_ok = (nw >= min_words) & (nw <= max_words)
     mwl_ok = (mwl >= 3.0) & (mwl <= 10.0)
     symbol_ok = sym_ratio <= 0.1
@@ -190,24 +193,9 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     whitespace-only docs fail wc_ok (and pass the line rules
     vacuously: zero lines).
     """
-    # Bind trim/split/lines ONCE as real columns in lower selects:
-    # each is referenced by several rule expressions, all multi-use
-    # non-cheap aliases, so CollapseProject keeps the projections
-    # separate and every rule reads the bound array instead of
-    # re-splitting the text (measured 7.3 s -> well under half at
-    # sf1.0 for the 50k-doc flags frame).
-    base = df.select(id_col, F.trim(F.col(text_col)).alias("_t"))
-    base = base.select(
-        id_col, "_t",
-        F.split(F.lower(F.col("_t")), r"\s+").alias("_w"),
-        F.filter(F.transform(F.split(F.col("_t"), r"\n"),
-                             lambda x: F.trim(x)),
-                 lambda x: F.length(x) > 0).alias("_ln"))
-    cols = _gopher_cols(text_col, min_words, max_words, stopwords,
-                        t=F.col("_t"), words=F.col("_w"),
-                        lines=F.col("_ln"))
-    return base.select(id_col,
-                       *[c.alias(name) for name, c in cols.items()])
+    cols = _gopher_cols(text_col, min_words, max_words, stopwords)
+    return df.select(id_col,
+                     *[c.alias(name) for name, c in cols.items()])
 
 
 # Conservative ASCII patterns, valid and identical under BOTH regex

@@ -405,7 +405,12 @@ def test_stream_substring_dedup_cross_batch(spark, tmp_path):
     assert got["doc0007"] == "tiny short doc"
     # no storage creep FROM THIS TEST: the per-batch occurrence
     # checkpoints released (other suite tests may legitimately hold
-    # live state - assert no NEW ids, not a globally empty context)
+    # live state - assert no NEW ids, not a globally empty context).
+    # The expected-value computation above used the BATCH operator,
+    # whose r7 occurrence cache lives until the next call by contract
+    # (the minhash candidate-cache lifetime); sweep it first - the
+    # assertion is about the STREAM's checkpoint hygiene.
+    dedup.release_candidate_caches()
     assert dedup._persistent_rdd_ids(spark.sparkContext) <= base_ids
 
 
