@@ -273,7 +273,11 @@ def _q_rel_q1(spark, sf_dir):
 def _q_rel_q3(spark, sf_dir):
     cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # lineitem is the probe side of the join and the test file has ~2
+    # row groups -> 2-core scan; widening it measured 5.0 -> 3.8 s at
+    # sf1.0 (widening orders too added nothing - it is the broadcast-
+    # subtree side).
+    li = _widen(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
     return (cu.filter(F.col("c_mktsegment") == "BUILDING")
             .join(o, cu.c_custkey == o.o_custkey)
             .join(li, o.o_orderkey == li.l_orderkey)
@@ -673,7 +677,11 @@ def _q_dedup_survivors_quality(spark, sf_dir):
     # scratch. At sf0.01 20 of the 24 dropped ids differ from the
     # min-id rule, so this row pins the argmax semantics, not a
     # relabeling of dedup_survivors.
-    d = (_widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # Widen ONLY the pair-stage input (minhash spreads internally via
+    # `spread`); the docs frame itself is consumed three times
+    # (members join + anti-join + here) and widening it paid the
+    # round-robin shuffle on every consumer (measured +3 s at sf1.0).
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
          .withColumn("_len", F.length("text")))
     pairs = dedup.minhash_duplicate_pairs(
         d, num_perm=64, bands=16, verify_jaccard=0.6,
