@@ -96,12 +96,15 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
                     "with")
 
 
-def _gopher_cols(text_col: str, min_words: int,
-                 max_words: int, stopwords=None) -> dict:
-    """The rule Columns, keyed by output name (shared by the
-    flags-frame operator and the row-local gopher_pass predicate)."""
+def _gopher_scalars(text_col: str | None = None, stopwords=None,
+                    t: Column | None = None) -> dict:
+    """The nine integer/scalar rule inputs, each as ONE Column
+    expression (shared by the flags frame and the let-bound filter
+    predicate). Pass either `text_col` (trim applied here) or a
+    pre-trimmed `t` Column (the let-bound lambda variable)."""
     import re as _re
-    t = F.trim(F.col(text_col))
+    if t is None:
+        t = F.trim(F.col(text_col))
     # r7: every rule is a single-pass scalar regex/replace expression -
     # no array columns, no interpreted higher-order lambdas. The old
     # array forms cost ~7.8 s at sf1.0 as the corpus 'quality' FILTER
@@ -143,13 +146,30 @@ def _gopher_cols(text_col: str, min_words: int,
             f"(^|\\s){_re.escape(w)}(\\s|$)"), 1).otherwise(0)
         for w in (stopwords or GOPHER_STOPWORDS)]
     sw_hits = sum(sw_hits_terms[1:], sw_hits_terms[0])
+    return {"nw": nw, "total_chars": total_chars, "hashes": hashes,
+            "ellipses": ellipses, "nl": nl, "bullet": bullet,
+            "ell_end": ell_end, "alpha": alpha, "sw_hits": sw_hits}
+
+
+def _gopher_rules(s, min_words: int, max_words: int) -> dict:
+    """Rule booleans from the scalar inputs. `s` maps a scalar name to
+    a Column - either the expression itself (flags frame: the Project
+    gets codegen subexpression elimination, so repeated references are
+    computed once) or a struct-field accessor (gopher_pass: see the
+    let-binding note there)."""
+    nw = s("nw")
+    mwl = F.when(nw > 0, s("total_chars").cast("double") / nw) \
+        .otherwise(F.lit(0.0))
+    sym_ratio = F.when(nw > 0, (s("hashes") + s("ellipses"))
+                       .cast("double") / nw).otherwise(F.lit(0.0))
+    nl = s("nl")
     wc_ok = (nw >= min_words) & (nw <= max_words)
     mwl_ok = (mwl >= 3.0) & (mwl <= 10.0)
     symbol_ok = sym_ratio <= 0.1
-    bullet_ok = (nl == 0) | (bullet.cast("double") / nl < 0.9)
-    ellipsis_ok = (nl == 0) | (ell_end.cast("double") / nl < 0.3)
-    alpha_ok = (nw > 0) & (alpha.cast("double") / nw >= 0.8)
-    stopword_ok = sw_hits >= 2
+    bullet_ok = (nl == 0) | (s("bullet").cast("double") / nl < 0.9)
+    ellipsis_ok = (nl == 0) | (s("ell_end").cast("double") / nl < 0.3)
+    alpha_ok = (nw > 0) & (s("alpha").cast("double") / nw >= 0.8)
+    stopword_ok = s("sw_hits") >= 2
     return {"n_words": nw.cast("long"), "wc_ok": wc_ok,
             "mwl_ok": mwl_ok, "symbol_ok": symbol_ok,
             "bullet_ok": bullet_ok, "ellipsis_ok": ellipsis_ok,
@@ -158,16 +178,49 @@ def _gopher_cols(text_col: str, min_words: int,
                             & ellipsis_ok & alpha_ok & stopword_ok)}
 
 
+def _gopher_cols(text_col: str, min_words: int,
+                 max_words: int, stopwords=None) -> dict:
+    """The rule Columns, keyed by output name (flags frame)."""
+    scalars = _gopher_scalars(text_col, stopwords)
+    return _gopher_rules(lambda n: scalars[n], min_words, max_words)
+
+
 def gopher_pass(text_col: str = "text", min_words: int = 50,
                 max_words: int = 100_000, stopwords=None):
     """The Gopher conjunction as a row-local boolean Column - for
     filtering in place (df.filter(gopher_pass())) with no join and no
-    extra pass; same expressions as gopher_quality_flags. `stopwords`
-    overrides the English Gopher set (domain corpora need their own
-    function-word list - the rule checks document naturalness, not
-    English membership)."""
-    return _gopher_cols(text_col, min_words, max_words,
-                        stopwords)["gopher_pass"]
+    extra pass; same rule semantics as gopher_quality_flags.
+    `stopwords` overrides the English Gopher set (domain corpora need
+    their own function-word list - the rule checks document
+    naturalness, not English membership).
+
+    Shape (r7): the scalar inputs are LET-BOUND via a single-element
+    array-of-struct and the conjunction runs inside `exists`, so each
+    scalar evaluates ONCE per row. A naive conjunction references nw
+    ~10 times and FilterExec predicates get no codegen subexpression
+    elimination (unlike Project), so the direct form re-ran ~20 regex
+    passes per row - measured 8 s vs sub-second at sf1.0 for the
+    corpus quality step. Binding through a projected column cannot
+    work for a filter: predicate pushdown re-inlines the alias into
+    the condition (verified on the pushed DataFilters). NULL text
+    yields a NULL conjunction either way - rows drop in both forms."""
+    def inner(raw):
+        scalars = _gopher_scalars(stopwords=stopwords,
+                                  t=F.trim(raw))
+        packed = F.array(F.struct(*[c.alias(n)
+                                    for n, c in scalars.items()]))
+        return F.exists(
+            packed,
+            lambda s: _gopher_rules(
+                lambda n: s[n], min_words, max_words)["gopher_pass"])
+
+    # Outer binding: the text column itself. When the quality filter
+    # sits above a derived text (the corpus clean step's chained
+    # regexp_replace), predicate pushdown substitutes that whole
+    # expression into every reference - the outer array binds it to
+    # ONE evaluation (measured 22 s -> ~2 s on the cleaned corpus at
+    # sf1.0); the inner binding then evaluates each scalar once.
+    return F.exists(F.array(F.col(text_col)), inner)
 
 
 def gopher_quality_flags(df: DataFrame, text_col: str = "text",
