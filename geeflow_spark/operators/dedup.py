@@ -1203,10 +1203,6 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     sc = docs.sparkSession.sparkContext
     release_decontaminate_state()  # previous call's id blocks
     fps = _text.rolling_fingerprints(F.col(bench_text_col), window)
-    bench = (benchmark.select(F.explode_outer(fps).alias("_f"))
-             .filter(F.col("_f").isNotNull())
-             .distinct()
-             .localCheckpoint(eager=False))
     # BOTH persistent-RDD-id diff windows run under _cc_lock: the
     # module invariant (see _cc_lock) is that context-wide checkpoint
     # diffs are serialized - without it, a concurrent dedup_survivors
@@ -1214,7 +1210,17 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     # here (killing that caller's truncated-lineage result), or this
     # call's blocks could land in the other's sweep.
     with _cc_lock:
+        # The `before` snapshot MUST precede the localCheckpoint mark:
+        # eager=False registers its persist id AT MARK TIME (probed on
+        # this Spark build), so a post-mark snapshot would put the
+        # bench block inside `before`, leave bench_ids empty, and leak
+        # the block past every release sweep until the ContextCleaner's
+        # nondeterministic GC found it (the storage-creep flake).
         before = _persistent_rdd_ids(sc)
+        bench = (benchmark.select(F.explode_outer(fps).alias("_f"))
+                 .filter(F.col("_f").isNotNull())
+                 .distinct()
+                 .localCheckpoint(eager=False))
         n_bench = int(bench.count())
         bench_ids = _persistent_rdd_ids(sc) - before
         try:
