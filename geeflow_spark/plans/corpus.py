@@ -54,6 +54,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,6 +64,38 @@ from geeflow_spark.operators import text_metrics
 
 _STEP_ORDER = ("sample", "clean", "quality", "dedup", "substrings",
                "decontaminate", "mix", "chunk", "shuffle", "pack")
+
+# Steps whose implementation references their INPUT frame more than
+# once (substrings: occurrence count side + occurrence probe side +
+# the rebuild join-back; dedup: the pair stage's bucket/shingle feeds
+# + the survivors anti-join; decontaminate: fingerprint side + anti-
+# join back). In the lazy composition each reference re-derives the
+# whole upstream chain - measured 24 parquet scans / 16 Arrow nodes
+# in corpus_e2e_clean's r7 plan - so the input of the FIRST such step
+# is persisted for the duration of the run (bounded-cache contract
+# below). The shuffle step's input is pinned for the same reason
+# (rank window + bucket-counts branch are two references; pack adds
+# two more of shuffle's output, whose re-derivation then reads the
+# pin instead of the text pipeline).
+_MULTI_REF_TEXT_STEPS = ("dedup", "substrings", "decontaminate")
+
+# Mid-chain pins of the LAST build_corpus_pipeline call. Same bounded
+# lifetime as dedup's candidate caches: each call releases the
+# previous call's pins (a long-lived session holds at most one set),
+# so no bench/oracle run can ever read blocks materialized by a
+# PREVIOUS run - every invocation recomputes from its inputs.
+_live_pipeline_caches: list = []
+_pin_lock = threading.Lock()
+
+
+def release_pipeline_caches() -> None:
+    """Unpersists the mid-chain pins of the previous
+    build_corpus_pipeline call (no-op when none are live). The frame
+    that call returned stays correct afterwards but recomputes per
+    action."""
+    with _pin_lock:
+        while _live_pipeline_caches:
+            _live_pipeline_caches.pop().unpersist(blocking=False)
 
 
 def _validate(cfg: dict, benchmark) -> None:
@@ -179,11 +212,32 @@ def build_corpus_pipeline(docs: DataFrame, cfg: dict,
     the `benchmark` frame.
     """
     _validate(cfg, benchmark)
+    release_pipeline_caches()  # previous call's pins
+    present = [s for s in _STEP_ORDER if s in cfg]
+    # Pin the input of the first multi-reference text step and of the
+    # shuffle step - but only when earlier steps exist (re-deriving a
+    # bare scan is cheaper than caching it). Persisting is semantics-
+    # neutral; it truncates the lazy form's upstream re-derivation
+    # (guide: materialize an intermediate consumed by multiple
+    # downstream references). Measured at the 10x mirror:
+    # corpus_e2e_clean ~5.2 -> ~4.2 s per evaluation.
+    pin_before = set()
+    for s in present:
+        if s in _MULTI_REF_TEXT_STEPS:
+            if present.index(s) > 0:
+                pin_before.add(s)
+            break
+    if "shuffle" in cfg and present.index("shuffle") > 0:
+        pin_before.add("shuffle")
     out = docs
     mixed = chunked = False
     for name in _STEP_ORDER:
         if name not in cfg:
             continue
+        if name in pin_before:
+            out = out.persist()
+            with _pin_lock:
+                _live_pipeline_caches.append(out)
         out = _apply_step(out, name, cfg[name], benchmark=benchmark,
                           text_col=text_col, id_col=id_col,
                           hash_family=hash_family, mixed=mixed,

@@ -286,3 +286,48 @@ def test_corpus_cli_subcommand(spark, tmp_path, monkeypatch):
     key = ["doc_id", "chunk_id", "rank"]
     assert got.sort_values(key).reset_index(drop=True)[exp.columns] \
         .equals(exp.sort_values(key).reset_index(drop=True))
+
+
+def test_pipeline_pins_bounded_and_released(spark):
+    # r7: build_corpus_pipeline persists the input of the first
+    # multi-reference step and of the shuffle step (plan-truncation
+    # pins). Bounded-cache contract: each call releases the previous
+    # call's pins, and release_pipeline_caches() drains the last set -
+    # so no run can ever read blocks a previous run materialized.
+    import time
+
+    from geeflow_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = {
+        "sample": {"fractions": {"en": 1.0}, "strata_col": "lang",
+                   "default_fraction": 0.5, "seed": 7},
+        "quality": {"min_words": 20,
+                    "stopwords": ("scan", "column", "window", "order")},
+        "substrings": {"window": 8},
+        "chunk": {"max_tokens": 32, "overlap": 4},
+        "shuffle": {"seed": 13, "n_buckets": 16},
+        "pack": {"budget": 64, "bucket_size": 32},
+    }
+    corpus.release_pipeline_caches()
+    spark.catalog.clearCache()
+    base = dedup._persistent_rdd_ids(spark.sparkContext)
+    n1 = corpus.build_corpus_pipeline(docs, cfg, hash_family="md5") \
+        .count()
+    with corpus._pin_lock:
+        # substrings input + shuffle input
+        assert len(corpus._live_pipeline_caches) == 2
+    # the next call releases the previous call's pins and registers
+    # its own - at most one live set per session (registry bounded)
+    n2 = corpus.build_corpus_pipeline(docs, cfg, hash_family="md5") \
+        .count()
+    with corpus._pin_lock:
+        assert len(corpus._live_pipeline_caches) == 2
+    assert n2 == n1 > 0
+    # the final release returns the persistent-RDD set to baseline
+    corpus.release_pipeline_caches()
+    leaked = dedup._persistent_rdd_ids(spark.sparkContext) - base
+    deadline = time.monotonic() + 15
+    while leaked and time.monotonic() < deadline:
+        time.sleep(1.0)
+        leaked = dedup._persistent_rdd_ids(spark.sparkContext) - base
+    assert not leaked, leaked

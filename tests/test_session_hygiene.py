@@ -14,12 +14,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def _release_all(spark):
     from geeflow_spark.operators import dedup, similarity
+    from geeflow_spark.plans import corpus
     dedup.release_candidate_caches()
     dedup.release_survivors_state()
     dedup.release_component_labels()
     dedup.release_decontaminate_state()
     similarity.release_session_index()
     similarity.release_probe_state()
+    corpus.release_pipeline_caches()
     spark.catalog.clearCache()
 
 
