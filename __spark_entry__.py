@@ -497,16 +497,17 @@ def _q_corpus_pack(spark, sf_dir):
     # global shuffle -> concatenate-and-cut packing at a 128-token
     # budget. Small bucket knobs (64 rank buckets, 256-row pack
     # buckets) so the multi-bucket offset paths are exercised at gate
-    # scale, not just the single-bucket degenerate.
+    # scale, not just the single-bucket degenerate. r7: built through
+    # plans/corpus (identical chain - the chunked-unmixed shuffle key
+    # is the same concat_ws("#", doc_id, chunk_id), same seeds/knobs -
+    # so identical rows) to inherit the pipeline's chunk-frame pin:
+    # the manual composition re-derived chunking four times (shuffle's
+    # count branch + rank branch, pack's offsets + payload).
     d = _widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    ch = chunking.chunk_documents(d, max_tokens=40, overlap=8)
-    keyed = ch.withColumn(
-        "_k", F.concat_ws("#", F.col("doc_id").cast("string"),
-                          F.col("chunk_id").cast("string")))
-    ranked = sampling.shuffle_rank(keyed, key_col="_k", seed=13,
-                                   hash_family="md5", n_buckets=64)
-    out = chunking.pack_sequences(ranked, budget=128, order_col="rank",
-                                  bucket_size=256)
+    cfg = {"chunk": {"max_tokens": 40, "overlap": 8},
+           "shuffle": {"seed": 13, "n_buckets": 64},
+           "pack": {"budget": 128, "bucket_size": 256}}
+    out = corpus.build_corpus_pipeline(d, cfg, hash_family="md5")
     return out.select(F.col("doc_id").cast("long").alias("doc_id"),
                       "chunk_id", "rank", "prefix_tokens", "pack_id",
                       "pack_offset")

@@ -215,6 +215,43 @@ TOKEN_HASH_FAMILIES = {"xxh64": token_hashes_col,
 
 
 _POLY = np.uint64(0x100000001B3)
+_POLY_INT = 0x100000001B3
+
+
+def _horner_window_fps(h: Column, window: int) -> Column:
+    """Rolling `window`-token fingerprints of a BOUND token-hash array
+    column, pure JVM (r7): element i folds h[i:i+window] by the same
+    polynomial (c = c*P + h_j) as `_shingle_hashes_flat`; with ANSI
+    off, JVM long multiplication wraps mod 2^64 exactly like the numpy
+    uint64 fold, so the output is BIT-IDENTICAL to the Arrow form
+    (probed: exceptAll both ways empty on the 10x corpus) - while
+    removing the Python boundary from every consumer (no worker
+    round-trip, no Arrow transpose; measured faster per pass, and the
+    skew-safe substring/containment pipelines evaluate the pass
+    twice). Short docs (0 < T < window) fold all T tokens into one
+    fingerprint at position 0; empty -> empty array.
+
+    `h` MUST be an attribute reference (bound by a lower Project), not
+    an inline expression: higher-order-function lambdas evaluate
+    interpreted with no subexpression elimination, so an unbound
+    tokenize+hash subtree would re-run per element_at - the 10x
+    regression the old pure-expression form measured.
+    """
+    n = F.size(h)
+    p = F.lit(_POLY_INT)
+
+    def _one(i: Column) -> Column:
+        c = F.element_at(h, i + 1)
+        for j in range(1, window):
+            c = c * p + F.element_at(h, i + j + 1)
+        return c
+
+    full = F.transform(F.sequence(F.lit(0), n - window), _one)
+    short = F.aggregate(F.slice(h, 2, n - 1), F.element_at(h, 1),
+                        lambda c, x: c * p + x)
+    return (F.when(n >= window, full)
+            .when(n > 0, F.array(short))
+            .otherwise(F.expr("CAST(array() AS array<bigint>)")))
 
 
 def _shingle_hashes_flat(flat: np.ndarray, counts: np.ndarray, k: int
@@ -534,11 +571,17 @@ def minhash_duplicate_pairs(df: DataFrame, text_col: str = "text",
                 .distinct())
     # sh is consumed twice (the a-side and b-side joins); persist it
     # under the same bounded-cache contract so the semi-join + shingle
-    # UDF subtree runs once per action instead of twice (r7). The
-    # frame is candidate-docs-sized - tiny at any real threshold.
+    # subtree runs once per action instead of twice (r7). The frame is
+    # candidate-docs-sized - tiny at any real threshold. Shingles come
+    # from the staged pure-JVM Horner fold (same values as the Arrow
+    # kernel; distinct set semantics, order irrelevant to
+    # array_intersect/array_union) - no Python stage on this path.
     sh = (df.join(cand_ids, id_col, "left_semi")
           .select(F.col(id_col),
-                  shingle_hashes_col(F.col(text_col), shingle_k)
+                  token_hashes_col(F.col(text_col)).alias("_th"))
+          .select(F.col(id_col),
+                  F.array_distinct(
+                      _horner_window_fps(F.col("_th"), shingle_k))
                   .alias("_sh"))).persist()
     with _cache_lock:
         _live_candidate_caches.append(sh)
@@ -906,9 +949,13 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
     recall tests compare against). At scale use
     `minhash_duplicate_pairs`, whose recall is banded-LSH, not exact.
     """
-    sh = _spread(df, spread).select(
-        F.col(id_col),
-        shingle_hashes_col(F.col(text_col), shingle_k).alias("_sh"))
+    sh = (_spread(df, spread)
+          .select(F.col(id_col),
+                  token_hashes_col(F.col(text_col)).alias("_th"))
+          .select(F.col(id_col),
+                  F.array_distinct(
+                      _horner_window_fps(F.col("_th"), shingle_k))
+                  .alias("_sh")))
     a = sh.select(F.col(id_col).alias("a"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col(id_col).alias("b"), F.col("_sh").alias("_shb"))
     return (a.crossJoin(b).filter(F.col("a") < F.col("b"))
@@ -960,14 +1007,19 @@ def containment_pairs(df: DataFrame, threshold: float = 0.5,
     themselves. Empty/whitespace-only docs have no fingerprints and
     emit no pairs.
     """
-    from geeflow_spark.functions import text as _text
-    fps = _text.rolling_fingerprints(F.col(text_col), window)
-    # explode_OUTER + post-filter, not explode: plain explode makes
-    # Catalyst infer `size(fp) > 0` and push it below the spread
-    # exchange, which re-evaluates the fingerprint UDF over the whole
-    # corpus a second time (measured: doubled ArrowEvalPython nodes).
-    base = (_spread(df, spread)
-            .select(F.col(id_col), fps.alias("_fp"))
+    # Pure-JVM staged fingerprints (r7): bind token hashes, then the
+    # DISTINCT fingerprint array (multi-use: size + explode), then
+    # explode. Bit-identical values to the former Arrow form; zero
+    # Python nodes. explode_OUTER + post-filter, not explode: plain
+    # explode makes Catalyst infer `size(fp) > 0` and push it below
+    # the spread exchange, re-evaluating the fingerprint pass over the
+    # whole corpus a second time (measured: doubled eval nodes).
+    b = (_spread(df, spread)
+         .select(F.col(id_col),
+                 token_hashes_col(F.lower(F.col(text_col)))
+                 .alias("_th")))
+    fps = F.array_distinct(_horner_window_fps(F.col("_th"), window))
+    base = (b.select(id_col, fps.alias("_fp"))
             .select(id_col, F.size("_fp").alias("_n"),
                     F.explode_outer("_fp").alias("_f"))
             .filter(F.col("_f").isNotNull()))
@@ -1076,17 +1128,19 @@ def _window_occurrences(df: DataFrame, window: int, text_col: str,
     """Positional window-fingerprint occurrence rows
     (id, _n token count, _p position, _f fingerprint) - the 24-byte
     shuffle currency of substring dedup, shared by the batch operator
-    and the streaming per-batch form. explode_outer + isNotNull, NOT
-    a plain generator: plain explode makes Catalyst infer
-    size(arr) > 0 and push it below upstream exchanges, re-running
-    the fingerprint UDF over the whole corpus (the containment_pairs
-    lesson)."""
-    fps = window_fingerprints_col(F.col(text_col), window)
-    return (df.select(F.col(id_col),
-                      F.size(F.filter(
-                          F.split(F.trim(F.col(text_col)), r"\s+"),
-                          lambda t: t != "")).alias("_n"),
-                      fps.alias("_fp"))
+    and the streaming per-batch form. Pure JVM (r7): token hashes are
+    bound once (`_th`, multi-use so CollapseProject keeps the
+    binding), the rolling fold is `_horner_window_fps` - bit-identical
+    to the former Arrow UDF, zero Python nodes in the plan.
+    explode_outer + isNotNull, NOT a plain generator: plain explode
+    makes Catalyst infer size(arr) > 0 and push it below upstream
+    exchanges, re-running the fingerprint pass over the whole corpus
+    (the containment_pairs lesson)."""
+    b = df.select(F.col(id_col),
+                  token_hashes_col(F.col(text_col)).alias("_th"))
+    h = F.col("_th")
+    return (b.select(id_col, F.size(h).alias("_n"),
+                     _horner_window_fps(h, window).alias("_fp"))
             .select(id_col, "_n",
                     F.posexplode_outer("_fp").alias("_p", "_f"))
             .filter(F.col("_f").isNotNull()))
@@ -1199,10 +1253,8 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     contaminated-id frame's blocks are released at the next call or
     via release_decontaminate_state().
     """
-    from geeflow_spark.functions import text as _text
     sc = docs.sparkSession.sparkContext
     release_decontaminate_state()  # previous call's id blocks
-    fps = _text.rolling_fingerprints(F.col(bench_text_col), window)
     # BOTH persistent-RDD-id diff windows run under _cc_lock: the
     # module invariant (see _cc_lock) is that context-wide checkpoint
     # diffs are serialized - without it, a concurrent dedup_survivors
@@ -1217,16 +1269,32 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
         # the block past every release sweep until the ContextCleaner's
         # nondeterministic GC found it (the storage-creep flake).
         before = _persistent_rdd_ids(sc)
-        bench = (benchmark.select(F.explode_outer(fps).alias("_f"))
+        # Staged pure-JVM fingerprints (r7, see _horner_window_fps);
+        # per-row array_distinct is skipped on BOTH sides - the bench
+        # side global-distincts the exploded rows and the docs side
+        # only feeds a left-semi + distinct(id), so per-row duplicate
+        # fingerprints cannot change either result.
+        bench = (benchmark
+                 .select(token_hashes_col(
+                     F.lower(F.col(bench_text_col))).alias("_th"))
+                 .select(_horner_window_fps(F.col("_th"), window)
+                         .alias("_fp"))
+                 .select(F.explode_outer("_fp").alias("_f"))
                  .filter(F.col("_f").isNotNull())
                  .distinct()
                  .localCheckpoint(eager=False))
         n_bench = int(bench.count())
         bench_ids = _persistent_rdd_ids(sc) - before
         try:
-            dfp = _text.rolling_fingerprints(F.col(text_col), window)
             exploded = (_spread(docs, spread)
-                        .select(F.col(id_col), dfp.alias("_fp"))
+                        .select(F.col(id_col),
+                                token_hashes_col(
+                                    F.lower(F.col(text_col)))
+                                .alias("_th"))
+                        .select(id_col,
+                                _horner_window_fps(F.col("_th"),
+                                                   window)
+                                .alias("_fp"))
                         .select(id_col,
                                 F.explode_outer("_fp").alias("_f"))
                         .filter(F.col("_f").isNotNull()))

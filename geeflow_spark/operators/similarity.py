@@ -462,8 +462,11 @@ def ivf_build(data: DataFrame, n_centroids: int = 64,
          .write.mode("overwrite").partitionBy("_c").parquet(path))
         lists = data.sparkSession.read.parquet(path)
     else:
+        # Lazy persist (r7): the first probe action materializes the
+        # assignment inside its own job - an eager count() here only
+        # added a driver-synchronous job per build with no reuse
+        # benefit (every consumer reads the same cache either way).
         lists = assigned.persist()
-        lists.count()
     return IVFIndex(centroids, lists, data_id, path,
                     vec_col if (store_vectors and not quantize)
                     else None, quantized=quantize)

@@ -221,13 +221,24 @@ def build_corpus_pipeline(docs: DataFrame, cfg: dict,
     # (guide: materialize an intermediate consumed by multiple
     # downstream references). Measured at the 10x mirror:
     # corpus_e2e_clean ~5.2 -> ~4.2 s per evaluation.
+    # Pin ONLY when the re-derived upstream is expensive: a chain of
+    # real text-processing stages. A cheap upstream (bare scan, scan +
+    # sample/chunk) re-derives faster than the persist's columnar
+    # encode + read - measured: the chunk+shuffle+pack-only config
+    # (corpus_pack) ran ~0.2-0.5 s SLOWER with the chunk-frame pin at
+    # both sf0.1 and the 10x mirror, while the quality+substrings
+    # configs won ~20% with it.
+    expensive = {"clean", "quality", "dedup", "substrings",
+                 "decontaminate"}
     pin_before = set()
     for s in present:
         if s in _MULTI_REF_TEXT_STEPS:
-            if present.index(s) > 0:
+            if any(p in expensive for p in
+                   present[:present.index(s)]):
                 pin_before.add(s)
             break
-    if "shuffle" in cfg and present.index("shuffle") > 0:
+    if "shuffle" in cfg and expensive & set(
+            present[:present.index("shuffle")]):
         pin_before.add("shuffle")
     out = docs
     mixed = chunked = False

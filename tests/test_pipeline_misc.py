@@ -932,12 +932,15 @@ def test_new_ops_plan_shapes(spark):
     assert detail_nodes(pii, "Exchange") == 0
     assert detail_nodes(pii, "ArrowEvalPython") == 0
     ss = dedup.substring_dedup(docs, window=8)
-    # r7: TWO fingerprint evaluations by design - the corpus-wide
-    # count is a partial-aggregated groupBy joined back to the
-    # occurrence rows (skew-safe; the r6 single-evaluation form was a
-    # Window colocating every occurrence of a hot fingerprint in one
-    # task). No Window nodes may remain in the occurrence pipeline.
-    assert detail_nodes(ss, "ArrowEvalPython") == 2
+    # r7: the corpus-wide count is a partial-aggregated groupBy joined
+    # back to the occurrence rows (skew-safe; the r6 single-evaluation
+    # form was a Window colocating every occurrence of a hot
+    # fingerprint in one task), and the fingerprint pass is the pure-
+    # JVM Horner fold - ZERO Python nodes even though the occurrence
+    # pipeline is evaluated on both join sides. No Window nodes may
+    # remain in the occurrence pipeline.
+    assert detail_nodes(ss, "ArrowEvalPython") == 0
+    assert detail_nodes(ss, "BatchEvalPython") == 0
     assert detail_nodes(ss, "Window") == 0
     assert detail_nodes(ss, "Exchange") <= 5
 
