@@ -221,23 +221,29 @@ def build_corpus_pipeline(docs: DataFrame, cfg: dict,
     # (guide: materialize an intermediate consumed by multiple
     # downstream references). Measured at the 10x mirror:
     # corpus_e2e_clean ~5.2 -> ~4.2 s per evaluation.
-    # Pin ONLY when the re-derived upstream is expensive: a chain of
-    # real text-processing stages. A cheap upstream (bare scan, scan +
-    # sample/chunk) re-derives faster than the persist's columnar
-    # encode + read - measured: the chunk+shuffle+pack-only config
-    # (corpus_pack) ran ~0.2-0.5 s SLOWER with the chunk-frame pin at
-    # both sf0.1 and the 10x mirror, while the quality+substrings
-    # configs won ~20% with it.
-    expensive = {"clean", "quality", "dedup", "substrings",
-                 "decontaminate"}
+    # Pin ONLY when the re-derived upstream is expensive. Measured
+    # (paired A/Bs at sf0.1 and the 10x mirror):
+    # - chunk+shuffle+pack only (corpus_pack): chunk-frame pin 0.2-0.5s
+    #   SLOWER - a bare-scan+chunk upstream re-derives faster than the
+    #   persist encodes;
+    # - sample+quality+chunk+shuffle+pack (corpus_e2e): shuffle pin
+    #   ~0.4 s slower at the mirror - the r7 regex/let-bound quality
+    #   scalars are single-pass-cheap to re-derive;
+    # - the substrings config (corpus_e2e_clean): pins win 4/4
+    #   pairings, -0.5..-1.5 s - the multi-pass heavies are what the
+    #   pins exist for.
+    # So: the pre-multi-ref pin needs any real text stage upstream;
+    # the shuffle pin needs a MULTI-PASS heavy (dedup / substrings /
+    # decontaminate) upstream.
+    single_pass = {"clean", "quality"}
+    heavy = set(_MULTI_REF_TEXT_STEPS)
     pin_before = set()
     for s in present:
         if s in _MULTI_REF_TEXT_STEPS:
-            if any(p in expensive for p in
-                   present[:present.index(s)]):
+            if (single_pass | heavy) & set(present[:present.index(s)]):
                 pin_before.add(s)
             break
-    if "shuffle" in cfg and expensive & set(
+    if "shuffle" in cfg and heavy & set(
             present[:present.index("shuffle")]):
         pin_before.add("shuffle")
     out = docs
