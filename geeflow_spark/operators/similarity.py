@@ -666,13 +666,27 @@ def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
     candidate volume is nprobe/n_centroids of the corpus by
     construction, independent of hash luck.
     """
-    bud = hyperplane_buckets_udf(dim, n_planes, bands)
     q = queries.select(F.col(query_id), F.col(vec_col).alias("_qv"),
                        _norm(F.col(vec_col), dim).alias("_qn"))
     d = data.select(F.col(data_id), F.col(vec_col).alias("_dv"),
                     _norm(F.col(vec_col), dim).alias("_dn"))
-    qb = q.select(query_id, F.explode(bud(F.col("_qv"))).alias("bucket"))
-    db = d.select(data_id, F.explode(bud(F.col("_dv"))).alias("bucket"))
+    if n_planes == 0:
+        # Zero sign bits -> every vector lands in the same `bands`
+        # constant keys (band index << 32, the exact values the UDF
+        # computes for an empty sign block). A JVM literal array skips
+        # the Python stage on BOTH sides of the degenerate-exact
+        # configuration; the sized-bucket production path below is
+        # unchanged.
+        const = F.array(*[F.lit(b << 32).cast("long")
+                          for b in range(bands)])
+        qb = q.select(query_id, F.explode(const).alias("bucket"))
+        db = d.select(data_id, F.explode(const).alias("bucket"))
+    else:
+        bud = hyperplane_buckets_udf(dim, n_planes, bands)
+        qb = q.select(query_id,
+                      F.explode(bud(F.col("_qv"))).alias("bucket"))
+        db = d.select(data_id,
+                      F.explode(bud(F.col("_dv"))).alias("bucket"))
     # Dedup candidate PAIRS on bare ids (16-byte shuffle rows), then
     # rejoin the vectors once: never shuffle embedding payloads keyed by
     # (or alongside) a multi-band-inflated candidate set. Queries are the
