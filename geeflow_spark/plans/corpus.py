@@ -24,7 +24,9 @@ corpus_e2e driver oracle does exactly that).
 Two execution forms over the same step semantics:
 
 - `build_corpus_pipeline`: ONE lazy composition (what the driver
-  oracles hash) - Catalyst sees the whole chain.
+  oracles hash) - Catalyst sees the whole chain; the inputs of
+  multi-reference steps are pinned per call (semantics-neutral,
+  bounded-cache lifecycle - see release_pipeline_caches).
 - `run_corpus_pipeline_checkpointed`: each stage materialized to
   parquet with a fingerprinted manifest; a relaunch skips every stage
   whose (step config + upstream fingerprint) manifest matches and

@@ -77,7 +77,12 @@ def main() -> None:
     for n in (SMALL, BIG):
         docs = _corpus(spark, n)
         spark.sparkContext.setJobDescription(f"r07 substring n={n}")
-        ss = _timed(lambda: dedup.substring_dedup(docs, window=8))
+        # runs=3: ambient load on this box swings single 10M walls by
+        # >50% (one recorded pair read 157 vs 102 s minutes apart);
+        # three runs + the printed min make contaminated samples
+        # visible instead of shipping one hot reading as the number.
+        ss = _timed(lambda: dedup.substring_dedup(docs, window=8),
+                    runs=3)
         # removed-token ground truth: each exact copy (1 per 1000)
         # loses all 20 tokens, and the 1-token mutant (1 per 1000)
         # loses its first 10 and last 9 tokens (windows fully inside
@@ -87,7 +92,7 @@ def main() -> None:
                       .agg(F.sum("ss_n_removed")).collect()[0][0])
         spark.sparkContext.setJobDescription(f"r07 containment n={n}")
         ct = _timed(lambda: dedup.containment_pairs(
-            docs, threshold=0.99, window=8))
+            docs, threshold=0.99, window=8), runs=3)
         n_pairs = int(dedup.containment_pairs(
             docs, threshold=0.99, window=8).count())
         out["dedup"][n] = {"substring_walls": ss,
