@@ -849,17 +849,30 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
             members = comp.join(
                 docs.select(F.col(id_col).alias("_n"),
                             F.col(quality_col).alias("_q")), "_n")
-            # (quality DESC, id ASC) rank-1 via a window, NOT
-            # max_by(struct(q, -id)): negation only inverts NUMERIC
-            # ids - a string id (synth.docs 'doc%010d' style) would
-            # cast to NULL and make the tie-break nondeterministic.
-            # The window orders any orderable id type, and its sort
-            # is per component member set, not per corpus.
-            ww = Window.partitionBy("_l").orderBy(
-                F.col("_q").desc_nulls_last(), F.col("_n").asc())
-            drop = (members
-                    .withColumn("_rk", F.row_number().over(ww))
-                    .filter(F.col("_rk") > 1)
+            # (quality DESC, id ASC) winner via TWO partial-aggregated
+            # groupBys + join-backs, NOT Window.partitionBy("_l")
+            # (r7): a window colocates every member of a component in
+            # ONE task - at web scale the giant boilerplate cluster
+            # (billions of copies of one template) is exactly the
+            # component this operator exists to collapse, and it would
+            # straggle or OOM that task (the same hazard the r6
+            # verdict flagged for the fingerprint windows). The
+            # aggregates map-side-combine to one row per component and
+            # the joins are AQE-skew-splittable. Not max_by(struct(q,
+            # -id)): negation only inverts NUMERIC ids - a string id
+            # would cast to NULL and make the tie-break
+            # nondeterministic; max(_q) + eqNullSafe + min(_n) orders
+            # any orderable types. Semantics identical to the former
+            # rank-1 window: winner = min id among the max-quality
+            # members (all-null-quality components: _qm is null,
+            # eqNullSafe keeps every member, min id wins - the
+            # desc_nulls_last tie-break).
+            qmax = members.groupBy("_l").agg(F.max("_q").alias("_qm"))
+            winners = (members.join(qmax, "_l")
+                       .filter(F.col("_q").eqNullSafe(F.col("_qm")))
+                       .groupBy("_l").agg(F.min("_n").alias("_w")))
+            drop = (members.join(winners, "_l")
+                    .filter(F.col("_n") != F.col("_w"))
                     .select(F.col("_n").alias(id_col)))
         drop = drop.localCheckpoint(eager=False)
         # ONE job materializes the lazy checkpoint AND counts it (the

@@ -230,3 +230,43 @@ def test_span_rebuild_order_preserved_large_drop(spark):
            for r in sd.collect()}
     assert got[0] == ["text", "media", "text", "media"]
     assert got[1] == ["media", "media"]  # text spans deduped, order kept
+
+
+def test_survivors_quality_winner_is_partial_aggregated(spark):
+    """The quality-survivor winner must not use
+    Window.partitionBy(component): a giant duplicate cluster (the
+    boilerplate template with billions of members at web scale) would
+    colocate in ONE window task. The r7 shape is two
+    partial-aggregated groupBys (max quality, then min id among the
+    max-quality members) + AQE-splittable join-backs. Correctness
+    pinned on a planted giant cluster with a unique best member."""
+    import pandas as pd
+
+    n = 2000
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:  # one giant near-dup cluster (same text)
+            text = "alpha beta gamma delta epsilon zeta eta theta"
+            if i == 500:  # the best copy: longest
+                text += " extra"
+        else:  # unique fillers
+            text = f"unique{i} filler{i} words{i} tail{i}"
+        rows.append({"doc_id": i, "text": text})
+    docs = (spark.createDataFrame(pd.DataFrame(rows))
+            .withColumn("_len", F.length("text")))
+    pairs = dedup.minhash_duplicate_pairs(
+        docs, num_perm=64, bands=16, verify_jaccard=0.6, spread=8)
+    out = dedup.dedup_survivors(docs, pairs, quality_col="_len")
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # the longest member wins the giant cluster; all unique docs stay
+    assert 500 in kept
+    assert not any(i in kept for i in range(0, n, 2) if i != 500)
+    assert all(i in kept for i in range(1, n, 2))
+    # plan shape: no Window in the drop-list derivation
+    pairs2 = dedup.minhash_duplicate_pairs(
+        docs, num_perm=64, bands=16, verify_jaccard=0.6, spread=8)
+    out2 = dedup.dedup_survivors(docs, pairs2, quality_col="_len")
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan.lower()
+    assert "windowexec" not in plan.lower().replace(
+        "windowgrouplimit", "")
