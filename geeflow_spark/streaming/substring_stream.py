@@ -17,7 +17,7 @@ Per micro-batch (foreachBatch, the documented batch-composition
 point):
 
   1. positional window fingerprints of the batch
-     (dedup.window_fingerprints_col - one Arrow pass);
+     (dedup._window_occurrences - the pure-JVM Horner fold, one pass);
   2. an occurrence is cut iff its fingerprint is IN STATE (seen in an
      earlier batch - every batch occurrence cuts, there is no
      first-keeper left to protect) OR it is a repeat within this
@@ -52,7 +52,7 @@ membership - a different (heavier) state contract.
 from __future__ import annotations
 
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geeflow_spark.operators import dedup
@@ -99,15 +99,25 @@ def substring_foreach_batch(state_dir: str, out_dir: str,
                             "_f", "left")
                    .withColumn("_seen", F.coalesce(F.col("_seen"),
                                                    F.lit(False))))
-            wfo = Window.partitionBy("_f").orderBy(id_col, "_p")
-            cnt = F.count("*").over(Window.partitionBy("_f"))
-            ranked = hit.select(
-                id_col, "_n", "_p", "_seen",
-                cnt.alias("_cnt"),
-                F.row_number().over(wfo).alias("_rn"))
-            removed = ranked.filter(
-                F.col("_seen")
-                | ((F.col("_cnt") >= 2) & (F.col("_rn") >= 2)))
+            # Partial-aggregated count + keep-first winner, NOT
+            # Window.partitionBy("_f") (r7: the batch operator's
+            # skew-safe shape, applied to the per-batch form - a hot
+            # boilerplate fingerprint would colocate every in-batch
+            # occurrence in one window task). min(struct(id, pos))
+            # reproduces row_number()=1 under orderBy(id, pos), and
+            # the join-back reads the occurrence CHECKPOINT blocks,
+            # so nothing re-derives the fingerprint pass.
+            agg = (hit.groupBy("_f")
+                   .agg(F.count("*").alias("_cnt"),
+                        F.min(F.struct(F.col(id_col).alias("i"),
+                                       F.col("_p").alias("p")))
+                        .alias("_w")))
+            removed = (hit.join(agg, "_f")
+                       .filter(F.col("_seen")
+                               | ((F.col("_cnt") >= 2)
+                                  & ((F.col(id_col) != F.col("_w.i"))
+                                     | (F.col("_p")
+                                        != F.col("_w.p"))))))
             cov = dedup._covered_positions(removed, window, id_col)
             out = dedup._cut_token_positions(batch_df, cov, text_col,
                                              id_col, metrics=False)
