@@ -780,6 +780,21 @@ _survivors_live_ids: set = set()
 _last_survivors_path: str | None = None
 
 
+def _quality_drop(members: DataFrame, id_col: str) -> DataFrame:
+    """Drop list for the quality path: members (_l component label,
+    _n id, _q quality) minus each component's (quality DESC, id ASC)
+    winner. Factored out so tests can pin its plan shape directly
+    (inside dedup_survivors it materializes behind a checkpoint, so
+    the returned frame's plan no longer shows these stages)."""
+    qmax = members.groupBy("_l").agg(F.max("_q").alias("_qm"))
+    winners = (members.join(qmax, "_l")
+               .filter(F.col("_q").eqNullSafe(F.col("_qm")))
+               .groupBy("_l").agg(F.min("_n").alias("_w")))
+    return (members.join(winners, "_l")
+            .filter(F.col("_n") != F.col("_w"))
+            .select(F.col("_n").alias(id_col)))
+
+
 def release_survivors_state() -> None:
     """Releases the materialized drop-list blocks held by the last
     dedup_survivors call. The RETURNED survivors frame depends on those
@@ -867,13 +882,7 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame,
             # members (all-null-quality components: _qm is null,
             # eqNullSafe keeps every member, min id wins - the
             # desc_nulls_last tie-break).
-            qmax = members.groupBy("_l").agg(F.max("_q").alias("_qm"))
-            winners = (members.join(qmax, "_l")
-                       .filter(F.col("_q").eqNullSafe(F.col("_qm")))
-                       .groupBy("_l").agg(F.min("_n").alias("_w")))
-            drop = (members.join(winners, "_l")
-                    .filter(F.col("_n") != F.col("_w"))
-                    .select(F.col("_n").alias(id_col)))
+            drop = _quality_drop(members, id_col)
         drop = drop.localCheckpoint(eager=False)
         # ONE job materializes the lazy checkpoint AND counts it (the
         # gate statistic) - same fold-the-action trick as the CC loop.

@@ -262,11 +262,18 @@ def test_survivors_quality_winner_is_partial_aggregated(spark):
     assert 500 in kept
     assert not any(i in kept for i in range(0, n, 2) if i != 500)
     assert all(i in kept for i in range(1, n, 2))
-    # plan shape: no Window in the drop-list derivation
-    pairs2 = dedup.minhash_duplicate_pairs(
-        docs, num_perm=64, bands=16, verify_jaccard=0.6, spread=8)
-    out2 = dedup.dedup_survivors(docs, pairs2, quality_col="_len")
-    plan = out2._jdf.queryExecution().executedPlan().toString()
+    # plan shape: no Window in the drop-list derivation. Asserted on
+    # _quality_drop directly - inside dedup_survivors the drop list
+    # materializes behind a checkpoint, so the RETURNED frame's plan
+    # no longer contains these stages.
+    members = spark.createDataFrame(
+        pd.DataFrame({"_l": [0, 0, 0, 1], "_n": [0, 2, 4, 1],
+                      "_q": [5, 9, 9, 3]}))
+    dd = dedup._quality_drop(members, "doc_id")
+    plan = dd._jdf.queryExecution().executedPlan().toString()
     assert "row_number" not in plan.lower()
     assert "windowexec" not in plan.lower().replace(
         "windowgrouplimit", "")
+    assert plan.lower().count("hashaggregate") >= 2
+    # winner of component 0 = id 2 (max quality 9, min id); drop 0, 4
+    assert sorted(r.doc_id for r in dd.collect()) == [0, 4]
